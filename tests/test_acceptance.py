@@ -1,0 +1,224 @@
+"""Golden parity tests: acceptance rules vs the reference verifier.
+
+The reference rules live as methods on EaModel (models/ea_model_llamagen.py);
+we call them unbound with a duck-typed `self` carrying the nearest-latent
+table, on torch CPU.  Stochastic rules consume one uniform per trial from
+python `random.random()`; we pin it to a constant so the flat draw stream and
+our per-(level, path) indexed draws coincide.
+"""
+
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from lantern_tpu import trees
+from lantern_tpu.ops import acceptance as acc
+from lantern_tpu.ops.sampling import LogitsWarp
+from tests.refmod import load_ref_ea_llamagen, load_ref_utils
+
+V = 64
+NEIGH_K = 8
+
+# jit with the static specs hashed so each config compiles once across the
+# whole parameter matrix (eager tracing of the unrolled level walk is slow).
+_greedy = jax.jit(acc.greedy_verify, static_argnames=("lantern",))
+_stoch = jax.jit(acc.stochastic_verify, static_argnames=("warp", "lantern"))
+
+
+@pytest.fixture(scope="module")
+def ref_ea():
+    return load_ref_ea_llamagen()
+
+
+@pytest.fixture(scope="module")
+def nearest():
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(V, 4))
+    d = ((emb[:, None] - emb[None, :]) ** 2).sum(-1)
+    order = np.argsort(d, axis=1)[:, 1:]  # drop self
+    return order.astype(np.int64)
+
+
+def fake_self(nearest):
+    return types.SimpleNamespace(nearest_latents=nearest.copy())
+
+
+def make_case(seed, tree_name="mc_sim_7b_63", collide=True):
+    """Random tree tokens + base logits shaped like a real verification step."""
+    rng = np.random.default_rng(seed)
+    spec = trees.get_tree(tree_name)
+    n = spec.num_nodes
+    tree_tokens = rng.integers(0, V, size=n).astype(np.int64)
+    if collide:
+        # force sibling token collisions to exercise the dedup walk
+        tree_tokens[2] = tree_tokens[1]
+    tree_tokens[0] = rng.integers(0, V)
+    ext = np.concatenate([tree_tokens, [-1]])
+    candidates = ext[spec.retrieve_indices]            # [P, D]
+    logits = rng.normal(size=(spec.num_paths, spec.path_len, V)).astype(np.float32) * 3
+    return spec, tree_tokens, candidates, logits
+
+
+def _accepted_tokens(candidates, best, alen):
+    return candidates[int(best), : int(alen) + 1]
+
+
+# ---------------------------------------------------------------------------
+# greedy (strict + lantern)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", range(5))
+def test_greedy_strict_matches_reference(ref_ea, nearest, seed):
+    spec, toks, cand, logits = make_case(seed)
+    me_best, me_len, me_bonus = _greedy(jnp.asarray(logits), jnp.asarray(cand))
+
+    self_ = fake_self(nearest)
+    rb, rl, rbonus = ref_ea.EaModel.evaluate_posterior(
+        self_, torch.tensor(logits), torch.tensor(cand), None, lantern=False
+    )
+    assert int(me_len) == int(rl)
+    np.testing.assert_array_equal(
+        _accepted_tokens(cand, me_best, me_len), _accepted_tokens(cand, rb, rl)
+    )
+    np.testing.assert_allclose(np.asarray(me_bonus), rbonus.numpy(), rtol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("delta", [0.05, 0.5, 2.0])
+def test_greedy_lantern_matches_reference(ref_ea, nearest, seed, delta):
+    spec, toks, cand, logits = make_case(seed)
+    lant = acc.LanternSpec(k=NEIGH_K, delta=delta)
+    me_best, me_len, me_bonus = _greedy(
+        jnp.asarray(logits), jnp.asarray(cand), jnp.asarray(nearest), lantern=lant
+    )
+    self_ = fake_self(nearest)
+    rb, rl, rbonus = ref_ea.EaModel.evaluate_posterior(
+        self_, torch.tensor(logits), torch.tensor(cand), None,
+        lantern=True, lantern_k=NEIGH_K, lantern_delta=delta,
+    )
+    assert int(me_len) == int(rl), (seed, delta)
+    np.testing.assert_array_equal(
+        _accepted_tokens(cand, me_best, me_len), _accepted_tokens(cand, rb, rl)
+    )
+    np.testing.assert_allclose(np.asarray(me_bonus), rbonus.numpy(), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# stochastic multi-round rejection (q == 1, EAGLE-2 style)
+# ---------------------------------------------------------------------------
+
+class _ConstRandom:
+    def __init__(self, u):
+        self.u = u
+
+    def random(self):
+        return self.u
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("u", [0.0, 0.2, 0.6, 0.999])
+@pytest.mark.parametrize("use_lantern", [False, True])
+def test_stochastic_matches_reference(ref_ea, nearest, monkeypatch, seed, u, use_lantern):
+    spec, toks, cand, logits = make_case(seed)
+    warp = LogitsWarp(temperature=1.0, top_k=0, top_p=1.0)
+    lant = acc.LanternSpec(k=NEIGH_K, delta=0.3) if use_lantern else acc.LanternSpec()
+
+    D, P = spec.path_len, spec.num_paths
+    uniforms = jnp.full((D, P), u, dtype=jnp.float32)
+    me_best, me_len, me_dist = _stoch(
+        None, jnp.asarray(logits), jnp.asarray(cand), warp,
+        nearest=jnp.asarray(nearest), lantern=lant, uniforms=uniforms,
+    )
+
+    monkeypatch.setattr(ref_ea, "random", _ConstRandom(u))
+    ru = load_ref_utils()
+    proc = ru.prepare_logits_processor(temperature=1.0, top_k=0, top_p=1.0)
+    self_ = fake_self(nearest)
+    rb, rl, rdist = ref_ea.EaModel.evaluate_posterior(
+        self_, torch.tensor(logits), torch.tensor(cand), proc,
+        lantern=use_lantern, lantern_k=NEIGH_K, lantern_delta=0.3,
+    )
+    assert int(me_len) == int(rl), (seed, u, use_lantern)
+    np.testing.assert_array_equal(
+        _accepted_tokens(cand, me_best, me_len), _accepted_tokens(cand, rb, rl)
+    )
+    np.testing.assert_allclose(np.asarray(me_dist), rdist.numpy(), rtol=2e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# stochastic multi-draft (EAGLE-1 static tree, drafter q)
+# ---------------------------------------------------------------------------
+
+def make_multidraft_case(seed, tree_name="mc_sim_7b_63"):
+    rng = np.random.default_rng(100 + seed)
+    spec = trees.get_tree(tree_name)
+    n = spec.num_nodes
+    tree_tokens = rng.integers(0, V, size=n).astype(np.int64)
+    ext = np.concatenate([tree_tokens, [-1]])
+    candidates = ext[spec.retrieve_indices]
+    logits = rng.normal(size=(spec.num_paths, spec.path_len, V)).astype(np.float32) * 3
+
+    # drafter distributions per level: rows = internal nodes at that depth
+    internal_slots = np.unique(spec.parent_slot[1:])
+    depth_of = spec.depth[internal_slots]
+    n_levels = int(depth_of.max()) + 1
+    level_probs = []
+    for d in range(n_levels):
+        rows = int((depth_of == d).sum())
+        p = rng.random((rows, V)).astype(np.float32)
+        p /= p.sum(-1, keepdims=True)
+        level_probs.append(p)
+
+    # per-node residual q, gathered along paths like generate_candidates
+    node_q = rng.random(n).astype(np.float32)
+    node_q[0] = 1.0
+    q_ext = np.concatenate([node_q, [1.0]]).astype(np.float32)
+    q_probs = q_ext[spec.retrieve_indices]
+    return spec, tree_tokens, candidates, logits, level_probs, q_probs
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("u", [0.0, 0.4, 0.999])
+@pytest.mark.parametrize("use_lantern", [False, True])
+def test_multidraft_matches_reference(ref_ea, nearest, monkeypatch, seed, u, use_lantern):
+    spec, toks, cand, logits, level_probs, q_probs = make_multidraft_case(seed)
+    warp = LogitsWarp(temperature=1.0, top_k=0, top_p=1.0)
+    lant = acc.LanternSpec(k=NEIGH_K, delta=0.3) if use_lantern else acc.LanternSpec()
+
+    D, P = spec.path_len, spec.num_paths
+    me_best, me_len, me_dist = _stoch(
+        None, jnp.asarray(logits), jnp.asarray(cand), warp,
+        nearest=jnp.asarray(nearest), lantern=lant,
+        q_probs=jnp.asarray(q_probs),
+        level_probs=tuple(jnp.asarray(p) for p in level_probs),
+        p_indices=jnp.asarray(spec.p_indices),
+        b_indices=jnp.asarray(spec.b_indices),
+        tree_tokens=jnp.asarray(toks),
+        uniforms=jnp.full((D, P), u, dtype=jnp.float32),
+    )
+
+    monkeypatch.setattr(ref_ea, "random", _ConstRandom(u))
+    ru = load_ref_utils()
+    ref_buf = ru.generate_tree_buffers(
+        [list(p) for p in spec.paths], device="cpu"
+    )
+    proc = ru.prepare_logits_processor(temperature=1.0, top_k=0, top_p=1.0)
+    self_ = fake_self(nearest)
+    tree_candidates = torch.tensor(toks)[None].repeat(2, 1)
+    rb, rl, rdist = ref_ea.EaModel.evaluate_posterior_v1(
+        self_, torch.tensor(logits), torch.tensor(cand), proc,
+        torch.tensor(q_probs),
+        [torch.tensor(p) for p in level_probs],
+        ref_buf["p_indices"], tree_candidates, ref_buf["b_indices"],
+        lantern=use_lantern, lantern_k=NEIGH_K, lantern_delta=0.3,
+    )
+    assert int(me_len) == int(rl), (seed, u, use_lantern)
+    np.testing.assert_array_equal(
+        _accepted_tokens(cand, me_best, me_len), _accepted_tokens(cand, rb, rl)
+    )
+    np.testing.assert_allclose(np.asarray(me_dist), rdist.numpy(), rtol=2e-4, atol=1e-6)
