@@ -1,0 +1,101 @@
+"""Static-shape KV cache for speculative decoding on TPU.
+
+Design (vs the reference's host-managed cache, models/drafters/kv_cache.py):
+
+- One pair of HBM buffers for all layers: ``k, v: [L, B, S, n_kv, head_dim]``
+  with a traced int32 ``length`` carried through the jitted decode loop —
+  no CPU-resident lengths, no host syncs.
+- **Append** writes a fixed-size [T]-token block at ``length`` via
+  dynamic_update_slice.  Speculative tree blocks are written the same way;
+  rows past the accepted prefix become garbage that is (a) invisible to
+  attention, which masks by ``length``, and (b) overwritten by later writes.
+  This replaces the reference's narrow+copy ``KVCache.cat``.
+- **Rollback** (accepting a draft path) gathers the accepted rows — scattered
+  inside the tree block — down to the contiguous prefix, mirroring
+  ``KVCache.copy`` / update_inference_inputs (ea_model_llamagen.py:960-970)
+  but as one fused gather + fixed-size write per layer under jit.
+
+Sharding: shard ``n_kv`` over the tensor-parallel mesh axis and ``B`` over
+data; ``length`` is replicated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .configs import ModelConfig
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "v", "length"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class KVCache:
+    k: jnp.ndarray        # [L, B, S, n_kv, head_dim]
+    v: jnp.ndarray        # [L, B, S, n_kv, head_dim]
+    length: jnp.ndarray   # int32 scalar: valid prefix length
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @staticmethod
+    def create(cfg: ModelConfig, batch: int, max_len: int | None = None, dtype=None) -> "KVCache":
+        S = max_len or cfg.max_seq_len
+        dt = dtype or cfg.jnp_dtype
+        shape = (cfg.num_layers, batch, S, cfg.num_kv_heads, cfg.head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, dt),
+            v=jnp.zeros(shape, dt),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+    def reset(self) -> "KVCache":
+        return dataclasses.replace(self, length=jnp.zeros((), jnp.int32))
+
+    def write(self, k_new: jnp.ndarray, v_new: jnp.ndarray, advance: bool = True) -> "KVCache":
+        """Write a [L, B, T, n_kv, hd] block at ``length``; optionally commit
+        it (advance the length).  With ``advance=False`` the block is written
+        as *provisional* (tree candidates): attention can still see it via an
+        explicit block mask, and the next write overwrites it."""
+        T = k_new.shape[2]
+        start = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), self.length,
+                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype), start)
+        v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype), start)
+        length = self.length + (T if advance else 0)
+        return KVCache(k=k, v=v, length=jnp.asarray(length, jnp.int32))
+
+    def commit(self, n: jnp.ndarray) -> "KVCache":
+        """Advance length by a traced amount (rows must already be in place)."""
+        return dataclasses.replace(self, length=self.length + jnp.asarray(n, jnp.int32))
+
+    def accept_path(self, rel_indices: jnp.ndarray, accept_count: jnp.ndarray) -> "KVCache":
+        """Tree rollback: compact the accepted draft path into the prefix.
+
+        ``rel_indices``: [A] int32, positions of the accepted path's nodes
+        *relative to* ``length`` (i.e. slots within the provisional tree
+        block), padded arbitrarily past ``accept_count``; A is the static
+        max path length.  ``accept_count``: traced number of valid rows.
+        Gathers those rows and rewrites them contiguously at ``length``,
+        then advances by ``accept_count``.  Garbage rows past the new length
+        are masked out by attention and later overwritten.
+        """
+        abs_idx = self.length + jnp.clip(rel_indices, 0)      # [A]
+        def fix(buf):
+            rows = jnp.take(buf, abs_idx, axis=2)             # [L, B, A, nk, hd]
+            return jax.lax.dynamic_update_slice(
+                buf, rows,
+                (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), self.length,
+                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+            )
+        return KVCache(
+            k=fix(self.k), v=fix(self.v),
+            length=self.length + jnp.asarray(accept_count, jnp.int32),
+        )

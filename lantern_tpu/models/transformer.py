@@ -1,0 +1,276 @@
+"""Unified decoder for all LANTERN model families, as pure functions over
+parameter pytrees.
+
+One parameterized implementation replaces the reference's three ~1.7K-line
+kv_variants models (SURVEY.md §7.1.3): RoPE kind (1-D / 2-D grid), QK-norm,
+swin-norm ordering, and the conditioning adapter (class label / T5 caption /
+token prompt) are config switches.
+
+TPU-first structure:
+- ``lax.scan`` over stacked layer weights -> one compiled block regardless of
+  depth, uniform sharding rules.
+- Decode steps read the committed KV prefix and the in-flight block
+  separately: scores = [q . K_cache[:S] | q . k_new], jointly softmaxed.  The
+  new block's K/V never round-trip through HBM before attention, and cache
+  writes happen once per step outside the layer scan.
+- The draft-tree ancestor mask enters as an explicit [T, T] ``block_mask``
+  (replacing the reference's ``model.tree_mask`` attribute hook,
+  modeling_llamagen_kv.py:1042-1048).
+- All masking is by traced ``kv.length`` — no dynamic shapes anywhere.
+
+Weight convention: matmul kernels are stored [in, out] (x @ W); loaders from
+torch checkpoints transpose once on the host.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import ModelConfig
+from ..kv import KVCache
+from ..ops.rope import (
+    apply_rope_half,
+    apply_rope_interleaved,
+    rope_table_1d,
+    rope_table_2d,
+)
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# params
+# ---------------------------------------------------------------------------
+
+def make_rope_tables(cfg: ModelConfig):
+    if cfg.rope_kind == "2d":
+        cos, sin = rope_table_2d(
+            cfg.grid_size, cfg.head_dim, cfg.rope_base, cfg.cls_token_num
+        )
+    else:
+        cos, sin = rope_table_1d(cfg.max_seq_len, cfg.head_dim, cfg.rope_base)
+    return jnp.asarray(cos), jnp.asarray(sin)
+
+
+def init_params(rng: jax.Array, cfg: ModelConfig, dtype=None) -> dict:
+    """Random-init parameter pytree (tests / tiny models; real weights come
+    from checkpoint loaders)."""
+    dt = dtype or cfg.jnp_dtype
+    H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    L = cfg.num_layers
+    ks = iter(jax.random.split(rng, 32))
+
+    def w(key, *shape, scale=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dt)
+
+    layers = {
+        "attn_norm": jnp.ones((L, H), dt),
+        "wq": w(next(ks), L, H, nh * hd),
+        "wk": w(next(ks), L, H, nkv * hd),
+        "wv": w(next(ks), L, H, nkv * hd),
+        "wo": w(next(ks), L, nh * hd, H),
+        "ffn_norm": jnp.ones((L, H), dt),
+        "w_gate": w(next(ks), L, H, I),
+        "w_up": w(next(ks), L, H, I),
+        "w_down": w(next(ks), L, I, H),
+    }
+    if cfg.qk_norm:
+        layers["q_norm_w"] = jnp.ones((L, nh, hd), dt)
+        layers["q_norm_b"] = jnp.zeros((L, nh, hd), dt)
+        layers["k_norm_w"] = jnp.ones((L, nkv, hd), dt)
+        layers["k_norm_b"] = jnp.zeros((L, nkv, hd), dt)
+
+    params = {
+        "embed": w(next(ks), V, H),
+        "layers": layers,
+        "norm": jnp.ones((H,), dt),
+        "lm_head": w(next(ks), H, V),
+    }
+    if cfg.cond_kind == "label":
+        params["cond"] = {"table": w(next(ks), cfg.num_classes + 1, H)}
+    elif cfg.cond_kind == "caption":
+        params["cond"] = {
+            "fc1": w(next(ks), cfg.caption_dim, H),
+            "fc2": w(next(ks), H, H),
+            "uncond": w(next(ks), cfg.cls_token_num, cfg.caption_dim, scale=cfg.caption_dim ** -0.5),
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (w * (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype))
+
+
+def head_layer_norm(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Per-head LayerNorm over head_dim (Chameleon QK-norm,
+    modeling_anole_kv.py:274-291).  x: [B, T, n, hd]; w, b: [n, hd]."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normed = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (normed * w + b).astype(x.dtype)
+
+
+def cond_embed(params: dict, cfg: ModelConfig, cond) -> jnp.ndarray:
+    """Conditioning prefix -> [B, cls_token_num, H].
+
+    - label: int32 [B] class ids (id == num_classes selects the uncond row)
+      (reference LabelEmbedder, modeling_llamagen_kv.py:120-147)
+    - caption: float [B, cls_token_num, caption_dim] T5 features
+      (reference CaptionEmbedder MLP, modeling_llamagen_kv.py:153-195)
+    """
+    if cfg.cond_kind == "label":
+        return params["cond"]["table"][cond][:, None, :]
+    if cfg.cond_kind == "caption":
+        p = params["cond"]
+        h = cond.astype(p["fc1"].dtype) @ p["fc1"]
+        h = jax.nn.gelu(h, approximate=True)
+        return h @ p["fc2"]
+    raise ValueError(f"no conditioning for cond_kind={cfg.cond_kind}")
+
+
+def token_embed(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
+    return params["embed"][input_ids]
+
+
+def logits_head(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+    return (hidden @ params["lm_head"]).astype(jnp.float32)
+
+
+def build_mask(
+    T: int,
+    S: int,
+    cur_len: jnp.ndarray,
+    block_mask: Optional[jnp.ndarray],
+    prefix_valid: Optional[jnp.ndarray],
+    batch: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Additive masks for (prefix, new block).
+
+    Returns ``(mask_prefix [B, 1, T, S], mask_block [B or 1, 1, T, T])`` in f32
+    {0, NEG_INF}.  Prefix: key j visible iff j < cur_len and (optionally)
+    prefix_valid[b, j].  Block: ``block_mask`` (tree ancestor matrix, or
+    [B, T, T] when padding differs per sample) or causal within the block.
+    """
+    j = jnp.arange(S)
+    vis = (j[None, :] < cur_len)                             # [1, S]
+    if prefix_valid is not None:
+        vis = vis & prefix_valid
+    mp = jnp.where(vis, 0.0, NEG_INF).astype(jnp.float32)    # [B or 1, S]
+    mp = jnp.broadcast_to(mp[:, None, None, :], (mp.shape[0], 1, T, S))
+    if mp.shape[0] == 1 and batch > 1:
+        mp = jnp.broadcast_to(mp, (batch, 1, T, S))
+
+    if block_mask is None:
+        bm = jnp.tril(jnp.ones((T, T), bool))
+    else:
+        bm = block_mask.astype(bool)
+    if bm.ndim == 2:
+        bm = bm[None]
+    mb = jnp.where(bm, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+    return mp, mb
+
+
+class ForwardResult(NamedTuple):
+    hidden: jnp.ndarray          # [B, T, H] final-norm hidden states
+    kv: KVCache                  # cache with the new block written at length
+
+
+def forward(
+    params: dict,
+    cfg: ModelConfig,
+    embeds: jnp.ndarray,          # [B, T, H]
+    kv: KVCache,
+    positions: jnp.ndarray,       # [T] or [B, T] position ids
+    rope: tuple[jnp.ndarray, jnp.ndarray],
+    block_mask: Optional[jnp.ndarray] = None,   # [T, T] tree/causal mask
+    prefix_valid: Optional[jnp.ndarray] = None,  # [B or 1, S] padding mask
+    commit: bool = True,
+) -> ForwardResult:
+    """Run the decoder over a new token block against the KV cache.
+
+    ``commit=False`` writes the block's K/V provisionally (tree verification):
+    the cache length does not advance; the caller later compacts accepted rows
+    with ``kv.accept_path``.
+    """
+    B, T, H = embeds.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    S = kv.max_len
+    cos, sin = rope
+    if positions.ndim == 1:
+        positions = positions[None, :]
+
+    mask_prefix, mask_block = build_mask(
+        T, S, kv.length, block_mask, prefix_valid, B
+    )
+    apply_rope = (
+        apply_rope_interleaved if cfg.rope_pairing == "interleaved" else apply_rope_half
+    )
+    scale = hd ** -0.5
+    lp = params["layers"]
+
+    def layer(h, xs):
+        w, k_cache, v_cache = xs   # k_cache/v_cache: [B, S, nkv, hd]
+        # swin (post-norm) ordering: h += norm(attn(h)); h += norm(mlp(h))
+        # (modeling_anole_kv.py:787-806); default is pre-norm LLaMA ordering.
+        x = h if cfg.swin_norm else rms_norm(h, w["attn_norm"], cfg.rms_norm_eps)
+        q = (x @ w["wq"]).reshape(B, T, nh, hd)
+        k = (x @ w["wk"]).reshape(B, T, nkv, hd)
+        v = (x @ w["wv"]).reshape(B, T, nkv, hd)
+        if cfg.qk_norm:
+            q = head_layer_norm(q, w["q_norm_w"], w["q_norm_b"], cfg.norm_eps)
+            k = head_layer_norm(k, w["k_norm_w"], w["k_norm_b"], cfg.norm_eps)
+        q = apply_rope(q, cos, sin, positions)
+        k = apply_rope(k, cos, sin, positions)
+
+        if nkv != nh:
+            rep = nh // nkv
+            k_cache_h = jnp.repeat(k_cache, rep, axis=2)
+            v_cache_h = jnp.repeat(v_cache, rep, axis=2)
+            k_h = jnp.repeat(k, rep, axis=2)
+            v_h = jnp.repeat(v, rep, axis=2)
+        else:
+            k_cache_h, v_cache_h, k_h, v_h = k_cache, v_cache, k, v
+
+        s_pre = jnp.einsum(
+            "btnh,bsnh->bnts", q, k_cache_h, preferred_element_type=jnp.float32
+        ) * scale + mask_prefix
+        s_blk = jnp.einsum(
+            "btnh,bunh->bntu", q, k_h, preferred_element_type=jnp.float32
+        ) * scale + mask_block
+        s = jnp.concatenate([s_pre, s_blk], axis=-1)
+        p = jax.nn.softmax(s, axis=-1)
+        p_pre, p_blk = p[..., :S], p[..., S:]
+        o = jnp.einsum("bnts,bsnh->btnh", p_pre, v_cache_h.astype(jnp.float32))
+        o = o + jnp.einsum("bntu,bunh->btnh", p_blk, v_h.astype(jnp.float32))
+        attn_out = (o.astype(h.dtype).reshape(B, T, nh * hd)) @ w["wo"]
+
+        if cfg.swin_norm:
+            h1 = h + rms_norm(attn_out, w["attn_norm"], cfg.rms_norm_eps)
+            mlp_in = h1
+        else:
+            h1 = h + attn_out
+            mlp_in = rms_norm(h1, w["ffn_norm"], cfg.rms_norm_eps)
+        mlp = (jax.nn.silu(mlp_in @ w["w_gate"]) * (mlp_in @ w["w_up"])) @ w["w_down"]
+        if cfg.swin_norm:
+            mlp = rms_norm(mlp, w["ffn_norm"], cfg.rms_norm_eps)
+        h2 = h1 + mlp
+        return h2, (k, v)
+
+    hidden, (k_new, v_new) = jax.lax.scan(
+        layer, embeds, (lp, kv.k, kv.v)
+    )
+    hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
+    kv = kv.write(k_new, v_new, advance=commit)
+    return ForwardResult(hidden=hidden, kv=kv)
