@@ -50,6 +50,10 @@ class ModelConfig:
     swin_norm: bool = False        # post-norm residual ordering
     norm_eps: float = 1e-5         # LayerNorm eps for qk_norm
 
+    # EAGLE-drafter structural quirks (cnets_llamagen.py:428-470)
+    first_layer_no_input_norm: bool = False  # drafter layer 0 skips input norm
+    final_norm: bool = True                  # drafter has no final RMSNorm
+
     # budget
     max_seq_len: int = 2048
 
@@ -195,5 +199,14 @@ def tiny_config(
 
 def drafter_config(base: ModelConfig, num_layers: int = 1, **kw) -> DrafterConfig:
     """Drafter mirroring a base model's block geometry (reference drafter
-    JSONs are 1-hidden-layer copies of the base config)."""
-    return DrafterConfig(model=base.replace(num_layers=num_layers), **kw)
+    JSONs are 1-hidden-layer copies of the base config).  The drafter's
+    2-D RoPE prefix is one shorter than the base's (its inputs are the
+    base's tokens shifted left by one, cnets_llamagen.py:562-574)."""
+    m = base.replace(
+        num_layers=num_layers,
+        cls_token_num=max(base.cls_token_num - 1, 0),
+        first_layer_no_input_norm=True,
+        final_norm=False,
+        cond_kind="none",
+    )
+    return DrafterConfig(model=m, **kw)

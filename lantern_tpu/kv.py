@@ -59,14 +59,19 @@ class KVCache:
     def reset(self) -> "KVCache":
         return dataclasses.replace(self, length=jnp.zeros((), jnp.int32))
 
-    def write(self, k_new: jnp.ndarray, v_new: jnp.ndarray, advance: bool = True) -> "KVCache":
-        """Write a [L, B, T, n_kv, hd] block at ``length``; optionally commit
-        it (advance the length).  With ``advance=False`` the block is written
-        as *provisional* (tree candidates): attention can still see it via an
-        explicit block mask, and the next write overwrites it."""
+    def write(
+        self, k_new: jnp.ndarray, v_new: jnp.ndarray, advance: bool = True,
+        offset=0,
+    ) -> "KVCache":
+        """Write a [L, B, T, n_kv, hd] block at ``length + offset``; optionally
+        commit it (advance the length by T; offset must be 0 then).  With
+        ``advance=False`` the block is written as *provisional* (tree
+        candidates / drafter expansion levels at increasing offsets):
+        attention sees it via an explicit block mask, and later writes
+        overwrite it."""
         T = k_new.shape[2]
-        start = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), self.length,
-                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        z = jnp.zeros((), jnp.int32)
+        start = (z, z, self.length + jnp.asarray(offset, jnp.int32), z, z)
         k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype), start)
         v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype), start)
         length = self.length + (T if advance else 0)

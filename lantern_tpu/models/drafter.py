@@ -1,0 +1,314 @@
+"""EAGLE-style drafter: a shallow decoder predicting the base model's next
+hidden state from (token embedding, previous base hidden) pairs.
+
+Reference: models/drafters/cnets_llamagen.py (Model).  Structure:
+``h = fc([embed(tok), base_hidden])`` -> N decoder layers (layer 0 without
+input norm, no final norm) -> next-hidden prediction; logits come from the
+*base* model's lm_head applied to drafter hiddens, CFG-combined across the
+leading cond/uncond batch pair at every draft step.
+
+TPU-first deltas vs the reference host loops:
+- The drafter KV cache is a static-shape ``KVCache``; expansion levels write
+  *provisional* rows at fixed offsets past the committed prefix, and the
+  accepted-token extension next step simply overwrites them (no cache
+  truncation, replacing the reference's ``stable_kv`` snapshotting,
+  cnets_llamagen.py:750-757).
+- Static-tree drafting (``draft_static``, EAGLE-1 / LANTERN++,
+  topK_genrate_v1 cnets_llamagen.py:944-1023) unrolls the per-level loop with
+  per-level static shapes from the compiled ``TreeSpec``.
+- Dynamic drafting (``draft_dynamic``, EAGLE-2, topK_genrate
+  cnets_llamagen.py:732-912) keeps the whole beam expansion and tree
+  re-assembly (ancestor closure, path table, lexicographic path sort) on
+  device with static shapes; only values are data-dependent.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import DrafterConfig
+from ..kv import KVCache
+from ..trees import TreeSpec
+from ..ops.sampling import (
+    LogitsWarp,
+    cfg_combine,
+    sample_without_replacement,
+    warp_logits,
+)
+from . import transformer as tfm
+
+
+def init_drafter_params(rng: jax.Array, dcfg: DrafterConfig, embed: jnp.ndarray) -> dict:
+    """Random-init drafter params; ``embed`` is the base model's (frozen)
+    token embedding, shared by reference semantics (cnets_llamagen.py:517)."""
+    m = dcfg.model
+    p = tfm.init_params(rng, m)
+    del p["lm_head"], p["norm"]
+    p.pop("cond", None)
+    p["embed"] = embed
+    k = jax.random.fold_in(rng, 17)
+    H = m.hidden_size
+    p["fc_w"] = (jax.random.normal(k, (2 * H, H)) * 0.02).astype(m.jnp_dtype)
+    p["fc_b"] = jnp.zeros((H,), m.jnp_dtype)
+    return p
+
+
+def fuse_inputs(params: dict, tokens: jnp.ndarray, hidden: jnp.ndarray) -> jnp.ndarray:
+    """fc([embed(tokens), hidden]) (cnets_llamagen.py:680)."""
+    emb = params["embed"][tokens].astype(hidden.dtype)
+    x = jnp.concatenate([emb, hidden], axis=-1)
+    return x @ params["fc_w"] + params["fc_b"]
+
+
+def extend(
+    params: dict,
+    dcfg: DrafterConfig,
+    rope,
+    kv: KVCache,
+    tokens: jnp.ndarray,        # [B2, T] next-token ids (shifted-left stream)
+    hidden: jnp.ndarray,        # [B2, T, H] base hiddens aligned with tokens
+    n_valid,                    # traced: rows actually accepted (<= T)
+    prefix_valid: Optional[jnp.ndarray] = None,
+) -> tuple[jnp.ndarray, KVCache]:
+    """Append accepted (token, hidden) pairs to the drafter's committed
+    prefix.  Writes all T rows (tail past ``n_valid`` is garbage that later
+    writes overwrite) but advances the cache length by ``n_valid`` only.
+    Returns the drafter output hiddens [B2, T, H] and the updated cache."""
+    T = tokens.shape[1]
+    x = fuse_inputs(params, tokens, hidden)
+    positions = kv.length + jnp.arange(T)
+    res = tfm.forward(
+        params, dcfg.model, x, kv, positions, rope,
+        prefix_valid=prefix_valid, commit=False,
+    )
+    return res.hidden, res.kv.commit(n_valid)
+
+
+def _head_logits(base_lm_head: jnp.ndarray, hidden: jnp.ndarray, cfg_scale: float) -> jnp.ndarray:
+    """Base lm_head over drafter hiddens, CFG-combined: [2, T, H] -> [T, V]."""
+    logits = (hidden @ base_lm_head).astype(jnp.float32)
+    return cfg_combine(logits, cfg_scale)[0]
+
+
+def _level_prefix_mask(kv_len, S: int, lvl_mask: jnp.ndarray, offset: int, T: int):
+    """[T, S] visibility: committed prefix + provisional rows [0, offset)
+    with ancestor visibility from the level's compiled mask."""
+    j = jnp.arange(S)
+    pm = jnp.broadcast_to(j[None, :] < kv_len, (T, S))
+    if offset > 0:
+        pm = jax.lax.dynamic_update_slice(
+            pm, lvl_mask[:, :offset], (0, kv_len.astype(jnp.int32))
+        )
+    return pm
+
+
+class StaticDraft(NamedTuple):
+    ss_token: jnp.ndarray        # [G, K] sampled tokens, level-major rows
+    ss_prob: jnp.ndarray         # [G, K] residual q-probs (sampling) / logits
+    level_probs: Tuple[jnp.ndarray, ...]  # per level [rows, V] full dists
+
+
+def draft_static(
+    params: dict,
+    dcfg: DrafterConfig,
+    spec: TreeSpec,
+    rope,
+    kv: KVCache,
+    root_hidden: jnp.ndarray,    # [2, 1, H] drafter output at the root token
+    base_lm_head: jnp.ndarray,
+    cfg_scale: float,
+    warp: LogitsWarp,
+    rng: jax.Array,
+) -> tuple[StaticDraft, KVCache]:
+    """EAGLE-1 static-tree drafting (topK_genrate_v1).  Returns the draft and
+    the cache whose buffer now holds the provisional tree-level rows (length
+    unchanged)."""
+    K = spec.topk
+    S = kv.max_len
+    sampling = warp.active
+
+    ss_token, ss_prob, level_probs = [], [], []
+    out_hidden = root_hidden
+
+    def sample_rows(logits, rng):
+        """[rows, V] cfg-combined logits -> (idx [rows,K], q [rows,K], dist)."""
+        if sampling:
+            probs = jax.nn.softmax(warp_logits(logits, warp), axis=-1)
+            idx, q = sample_without_replacement(rng, probs, K)
+            return idx, q, probs
+        idx = jax.lax.top_k(logits, K)[1].astype(jnp.int32)
+        vals = jnp.take_along_axis(logits, idx, axis=-1)
+        return idx, vals, jnp.zeros((logits.shape[0], 0), jnp.float32)
+
+    logits = _head_logits(base_lm_head, out_hidden, cfg_scale)      # [1, V]
+    n_levels = len(spec.levels) + 1
+    for d in range(n_levels):
+        rng, r = jax.random.split(rng)
+        idx, q, dist = sample_rows(logits, r)
+        ss_token.append(idx)
+        ss_prob.append(q)
+        level_probs.append(dist)
+        if d == len(spec.levels):
+            break
+        lvl = spec.levels[d]
+        flat_tok = idx.reshape(-1)[lvl.child_flat_idx]               # [n_d]
+        tokens = jnp.broadcast_to(flat_tok[None, :], (2, flat_tok.shape[0]))
+        parent_hidden = out_hidden[:, lvl.parent_row]                # [2, n_d, H]
+        x = fuse_inputs(params, tokens, parent_hidden)
+        T = tokens.shape[1]
+        off = lvl.block_offset
+        lvl_mask = jnp.asarray(lvl.attn_mask)
+        res = tfm.forward(
+            params, dcfg.model, x, kv,
+            positions=kv.length + jnp.zeros((T,), jnp.int32) + d,
+            rope=rope,
+            block_mask=lvl_mask[:, off:],
+            prefix_override=_level_prefix_mask(kv.length, S, lvl_mask, off, T),
+            commit=False,
+            write_offset=off,
+        )
+        kv = res.kv
+        out_hidden = res.hidden
+        logits = _head_logits(base_lm_head, out_hidden, cfg_scale)   # [n_d, V]
+
+    return StaticDraft(
+        ss_token=jnp.concatenate(ss_token, axis=0),
+        ss_prob=jnp.concatenate(ss_prob, axis=0).astype(jnp.float32),
+        level_probs=tuple(level_probs),
+    ), kv
+
+
+class DynamicDraft(NamedTuple):
+    draft_tokens: jnp.ndarray       # [N+1] incl. committed root token
+    retrieve_indices: jnp.ndarray   # [N+1, depth+2] all-node root paths, -1 pad
+    tree_mask: jnp.ndarray          # [N+1, N+1] ancestor|self (bool)
+    tree_position_ids: jnp.ndarray  # [N+1] node depths
+
+
+def _ancestor_closure(parent: jnp.ndarray, depth_bound: int) -> jnp.ndarray:
+    """parent[i] in [0..N] (root's parent = 0) -> ancestor-or-self matrix.
+    Column 0 (root) always visible, mirroring generate_tree_buffers."""
+    n = parent.shape[0]
+    A = jnp.eye(n, dtype=bool).at[:, 0].set(True)
+    for _ in range(depth_bound):
+        A = A | A[parent]
+    return A
+
+
+def draft_dynamic(
+    params: dict,
+    dcfg: DrafterConfig,
+    rope,
+    kv: KVCache,
+    root_hidden: jnp.ndarray,    # [2, 1, H]
+    root_token: jnp.ndarray,     # [] committed root token id
+    base_lm_head: jnp.ndarray,
+    cfg_scale: float,
+    warp: LogitsWarp,
+) -> tuple[DynamicDraft, KVCache]:
+    """EAGLE-2 dynamic beam drafting (topK_genrate, cnets_llamagen.py:732-912).
+
+    Beam-expands ``depth`` levels keeping the global top-k cumulative
+    log-prob nodes, then selects the best ``total_tokens - 1`` nodes overall
+    and re-assembles them into a tree, entirely on device.
+    """
+    K, depth = dcfg.top_k, dcfg.depth
+    N = dcfg.total_tokens - 1          # nodes excl. root
+    S = kv.max_len
+
+    def head_logp(hidden):
+        logits = _head_logits(base_lm_head, hidden, cfg_scale)
+        logits = warp_logits(logits, warp)
+        return jax.nn.log_softmax(logits, axis=-1)
+
+    lp = head_logp(root_hidden)                                  # [1, V]
+    topk_p, topk_i = jax.lax.top_k(lp, K)
+    scores = topk_p[0]                                           # [K]
+    scores_list = [scores]                                       # level blobs
+    ss_list = [topk_i[0]]
+    parents_list = [jnp.zeros((1,), jnp.int32)]
+
+    tokens = jnp.broadcast_to(topk_i, (2, K)).astype(jnp.int32)
+    input_hidden = jnp.broadcast_to(root_hidden, (2, K, root_hidden.shape[-1]))
+    tree_mask = jnp.eye(K, dtype=bool)                           # [K, K*(i+1)]
+    topk_cs_index = jnp.arange(K, dtype=jnp.int32)
+
+    for i in range(depth):
+        x = fuse_inputs(params, tokens, input_hidden)
+        pm = _level_prefix_mask(kv.length, S, tree_mask, i * K, K)
+        res = tfm.forward(
+            params, dcfg.model, x, kv,
+            positions=kv.length + jnp.zeros((K,), jnp.int32) + i,
+            rope=rope,
+            block_mask=tree_mask[:, i * K:],
+            prefix_override=pm,
+            commit=False,
+            write_offset=i * K,
+        )
+        kv = res.kv
+        out_hidden = res.hidden                                   # [2, K, H]
+
+        bias = 1 + K * K * max(i - 1, 0) + (K if i > 0 else 0)
+        parents_list.append(topk_cs_index + bias)
+
+        lp = head_logp(out_hidden)                                # [K, V]
+        topk_p, topk_i = jax.lax.top_k(lp, K)                     # [K, K]
+        cu = topk_p + scores[:, None]
+        scores, topk_cs_index = jax.lax.top_k(cu.reshape(-1), K)
+        topk_cs_index = topk_cs_index.astype(jnp.int32)
+        out_ids = topk_cs_index // K
+        input_hidden = out_hidden[:, out_ids]
+        tokens = jnp.broadcast_to(
+            topk_i.reshape(-1)[topk_cs_index][None, :], (2, K)
+        ).astype(jnp.int32)
+        ss_list.append(topk_i.reshape(-1))
+        scores_list.append(cu.reshape(-1))
+        tree_mask = jnp.concatenate(
+            [tree_mask[out_ids], jnp.eye(K, dtype=bool)], axis=1
+        )
+
+    scores_flat = jnp.concatenate(scores_list)                    # [K + depth*K^2]
+    ss_flat = jnp.concatenate(ss_list)
+    _, top_idx = jax.lax.top_k(scores_flat, N)
+    top_idx = jnp.sort(top_idx).astype(jnp.int32)
+
+    draft_tokens = jnp.concatenate(
+        [root_token.reshape(1).astype(jnp.int32), ss_flat[top_idx]]
+    )
+    parents_flat = jnp.concatenate(parents_list)                  # [1 + depth*K]
+    draft_parents = parents_flat[top_idx // K]
+    mask_index = jnp.searchsorted(top_idx, draft_parents - 1).astype(jnp.int32)
+    mask_index = jnp.where(draft_parents == 0, -1, mask_index) + 1  # [N] slots
+
+    parent = jnp.concatenate([jnp.zeros((1,), jnp.int32), mask_index])
+    A = _ancestor_closure(parent, depth + 1)                      # [N+1, N+1]
+    tree_position_ids = jnp.sum(A, axis=1).astype(jnp.int32) - 1
+
+    # all-node root paths (prefix-closed superset of the reference's leaf
+    # rows — identical acceptance semantics, static shape)
+    D = depth + 2
+    n1 = N + 1
+    paths = jnp.full((n1, D), -1, jnp.int32)
+    cur = jnp.arange(n1, dtype=jnp.int32)
+    col = tree_position_ids                                      # own depth
+    for _ in range(D):
+        paths = paths.at[jnp.arange(n1), jnp.clip(col, 0)].set(
+            jnp.where(col >= 0, cur, paths[jnp.arange(n1), jnp.clip(col, 0)])
+        )
+        cur = parent[cur]
+        col = col - 1
+    # lexicographic sort with pads last (reference custom_sort)
+    big = n1 + 5
+    keys = jnp.where(paths < 0, big, paths)
+    order = jnp.lexsort([keys[:, c] for c in range(D - 1, -1, -1)])
+    paths = paths[order]
+
+    return DynamicDraft(
+        draft_tokens=draft_tokens,
+        retrieve_indices=paths,
+        tree_mask=A,
+        tree_position_ids=tree_position_ids,
+    ), kv

@@ -155,22 +155,32 @@ def build_mask(
     block_mask: Optional[jnp.ndarray],
     prefix_valid: Optional[jnp.ndarray],
     batch: int,
+    prefix_override: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Additive masks for (prefix, new block).
 
     Returns ``(mask_prefix [B, 1, T, S], mask_block [B or 1, 1, T, T])`` in f32
     {0, NEG_INF}.  Prefix: key j visible iff j < cur_len and (optionally)
-    prefix_valid[b, j].  Block: ``block_mask`` (tree ancestor matrix, or
-    [B, T, T] when padding differs per sample) or causal within the block.
+    prefix_valid[b, j]; or, when ``prefix_override`` ([T, S] or [B, T, S]
+    bool) is given, exactly that — used by the drafter to expose earlier
+    *provisional* tree-level rows beyond ``cur_len`` with ancestor
+    visibility.  Block: ``block_mask`` (tree ancestor matrix, or [B, T, T]
+    when padding differs per sample) or causal within the block.
     """
-    j = jnp.arange(S)
-    vis = (j[None, :] < cur_len)                             # [1, S]
-    if prefix_valid is not None:
-        vis = vis & prefix_valid
-    mp = jnp.where(vis, 0.0, NEG_INF).astype(jnp.float32)    # [B or 1, S]
-    mp = jnp.broadcast_to(mp[:, None, None, :], (mp.shape[0], 1, T, S))
-    if mp.shape[0] == 1 and batch > 1:
-        mp = jnp.broadcast_to(mp, (batch, 1, T, S))
+    if prefix_override is not None:
+        po = prefix_override if prefix_override.ndim == 3 else prefix_override[None]
+        mp = jnp.where(po, 0.0, NEG_INF).astype(jnp.float32)[:, None]  # [B?,1,T,S]
+        if mp.shape[0] == 1 and batch > 1:
+            mp = jnp.broadcast_to(mp, (batch, 1, T, S))
+    else:
+        j = jnp.arange(S)
+        vis = (j[None, :] < cur_len)                             # [1, S]
+        if prefix_valid is not None:
+            vis = vis & prefix_valid
+        mp = jnp.where(vis, 0.0, NEG_INF).astype(jnp.float32)    # [B or 1, S]
+        mp = jnp.broadcast_to(mp[:, None, None, :], (mp.shape[0], 1, T, S))
+        if mp.shape[0] == 1 and batch > 1:
+            mp = jnp.broadcast_to(mp, (batch, 1, T, S))
 
     if block_mask is None:
         bm = jnp.tril(jnp.ones((T, T), bool))
@@ -196,13 +206,16 @@ def forward(
     rope: tuple[jnp.ndarray, jnp.ndarray],
     block_mask: Optional[jnp.ndarray] = None,   # [T, T] tree/causal mask
     prefix_valid: Optional[jnp.ndarray] = None,  # [B or 1, S] padding mask
+    prefix_override: Optional[jnp.ndarray] = None,  # [T, S] custom visibility
     commit: bool = True,
+    write_offset=0,
 ) -> ForwardResult:
     """Run the decoder over a new token block against the KV cache.
 
     ``commit=False`` writes the block's K/V provisionally (tree verification):
     the cache length does not advance; the caller later compacts accepted rows
-    with ``kv.accept_path``.
+    with ``kv.accept_path``.  ``write_offset`` places a provisional block past
+    earlier provisional rows (drafter tree levels).
     """
     B, T, H = embeds.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -210,9 +223,12 @@ def forward(
     cos, sin = rope
     if positions.ndim == 1:
         positions = positions[None, :]
+    # clamp into the rope table: garbage tail rows of masked fixed-size
+    # blocks may run past the end near the image boundary
+    positions = jnp.clip(positions, 0, cos.shape[0] - 1)
 
     mask_prefix, mask_block = build_mask(
-        T, S, kv.length, block_mask, prefix_valid, B
+        T, S, kv.length, block_mask, prefix_valid, B, prefix_override
     )
     apply_rope = (
         apply_rope_interleaved if cfg.rope_pairing == "interleaved" else apply_rope_half
@@ -221,10 +237,17 @@ def forward(
     lp = params["layers"]
 
     def layer(h, xs):
-        w, k_cache, v_cache = xs   # k_cache/v_cache: [B, S, nkv, hd]
+        idx, w, k_cache, v_cache = xs   # k_cache/v_cache: [B, S, nkv, hd]
         # swin (post-norm) ordering: h += norm(attn(h)); h += norm(mlp(h))
         # (modeling_anole_kv.py:787-806); default is pre-norm LLaMA ordering.
-        x = h if cfg.swin_norm else rms_norm(h, w["attn_norm"], cfg.rms_norm_eps)
+        if cfg.swin_norm:
+            x = h
+        else:
+            x = rms_norm(h, w["attn_norm"], cfg.rms_norm_eps)
+            if cfg.first_layer_no_input_norm:
+                # drafter layer 0 feeds the fc-fused input straight into
+                # attention (cnets_llamagen.py:466-470)
+                x = jnp.where(idx == 0, h, x)
         q = (x @ w["wq"]).reshape(B, T, nh, hd)
         k = (x @ w["wk"]).reshape(B, T, nkv, hd)
         v = (x @ w["wv"]).reshape(B, T, nkv, hd)
@@ -269,8 +292,9 @@ def forward(
         return h2, (k, v)
 
     hidden, (k_new, v_new) = jax.lax.scan(
-        layer, embeds, (lp, kv.k, kv.v)
+        layer, embeds, (jnp.arange(cfg.num_layers), lp, kv.k, kv.v)
     )
-    hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
-    kv = kv.write(k_new, v_new, advance=commit)
+    if cfg.final_norm:
+        hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
+    kv = kv.write(k_new, v_new, advance=commit, offset=write_offset)
     return ForwardResult(hidden=hidden, kv=kv)

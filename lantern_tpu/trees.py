@@ -113,7 +113,7 @@ def sort_paths(paths: Sequence[Sequence[int]]) -> List[Path]:
     return sorted((tuple(p) for p in paths), key=lambda p: (len(p), p))
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class DrafterLevel:
     """Static bookkeeping for one drafter expansion level.
 
@@ -133,9 +133,10 @@ class DrafterLevel:
                                   # within the drafter's tree KV block
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class TreeSpec:
-    """Compiled static draft tree.  All arrays are host numpy; slot 0 = root."""
+    """Compiled static draft tree.  All arrays are host numpy; slot 0 = root.
+    ``eq=False`` -> identity hash, usable as a jit static argument."""
 
     paths: Tuple[Path, ...]          # sorted node paths (slot i+1 <-> paths[i])
     topk: int
