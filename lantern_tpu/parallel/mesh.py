@@ -1,0 +1,105 @@
+"""Device mesh and sharding rules.
+
+The scaling dimension for visual-AR speculative decoding is model sharding +
+request batching, not sequence length (SURVEY.md §5): base-model weights and
+KV are tensor-sharded over the ``tp`` mesh axis (attention heads / FFN inner
+dim / vocab), the drafter is replicated, and requests shard over ``dp``.
+Collectives are left to XLA via sharding annotations under jit — the
+reference's NCCL calls (xllmx/util/dist.py) have no analogue here.
+
+Sharding rules map parameter-tree paths to PartitionSpecs.  Head counts that
+don't divide ``tp`` fall back to replication (XLA would otherwise pad).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..configs import ModelConfig
+
+DP, TP = "dp", "tp"
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: int = 1, devices=None) -> Mesh:
+    """Mesh over available devices with axes (dp, tp); tp = n/dp."""
+    devs = list(devices if devices is not None else jax.devices())
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if n % dp:
+        raise ValueError(f"n_devices {n} not divisible by dp {dp}")
+    arr = np.asarray(devs).reshape(dp, n // dp)
+    return Mesh(arr, (DP, TP))
+
+
+def _divisible(n: int, mesh: Mesh) -> bool:
+    return n % mesh.shape[TP] == 0
+
+
+def base_param_specs(cfg: ModelConfig, mesh: Mesh) -> dict:
+    """Megatron-style TP: q/k/v + FFN-in column-sharded, o + FFN-out
+    row-sharded, lm_head vocab-sharded, norms/embeddings replicated."""
+    heads_ok = _divisible(cfg.num_heads, mesh) and _divisible(cfg.num_kv_heads, mesh)
+    ffn_ok = _divisible(cfg.intermediate_size, mesh)
+    vocab_ok = _divisible(cfg.vocab_size, mesh)
+    col = P(None, None, TP)
+    row = P(None, TP, None)
+    rep3 = P(None, None, None)
+    layers = {
+        "attn_norm": P(None, None),
+        "wq": col if heads_ok else rep3,
+        "wk": col if heads_ok else rep3,
+        "wv": col if heads_ok else rep3,
+        "wo": row if heads_ok else rep3,
+        "ffn_norm": P(None, None),
+        "w_gate": col if ffn_ok else rep3,
+        "w_up": col if ffn_ok else rep3,
+        "w_down": row if ffn_ok else rep3,
+    }
+    if cfg.qk_norm:
+        qn = P(None, TP, None) if heads_ok else rep3
+        layers.update(q_norm_w=qn, q_norm_b=qn, k_norm_w=qn, k_norm_b=qn)
+    specs = {
+        "embed": P(None, None),
+        "layers": layers,
+        "norm": P(None),
+        "lm_head": P(None, TP) if vocab_ok else P(None, None),
+    }
+    if cfg.cond_kind == "label":
+        specs["cond"] = {"table": P(None, None)}
+    elif cfg.cond_kind == "caption":
+        specs["cond"] = {"fc1": P(None, None), "fc2": P(None, None), "uncond": P(None, None)}
+    return specs
+
+
+def drafter_param_specs(dparams: dict) -> dict:
+    """Drafter is small -> fully replicated."""
+    return jax.tree.map(lambda a: P(*([None] * a.ndim)), dparams)
+
+
+def kv_specs(cfg: ModelConfig, mesh: Mesh):
+    """KVCache [L, B, S, nk, hd]: kv-heads over tp, batch over dp."""
+    heads_ok = _divisible(cfg.num_kv_heads, mesh)
+    spec = P(None, None, None, TP if heads_ok else None, None)
+    from ..kv import KVCache
+    return KVCache(k=spec, v=spec, length=P())  # type: ignore[arg-type]
+
+
+def tree_shardings(tree, specs, mesh: Mesh):
+    """Mirror ``tree`` with NamedShardings from the (PartitionSpec-leaved)
+    ``specs`` tree.  PartitionSpec is itself a pytree, so flatten specs only
+    down to ``tree``'s structure."""
+    leaves, treedef = jax.tree.flatten(tree)
+    spec_leaves = treedef.flatten_up_to(specs)
+    return jax.tree.unflatten(
+        treedef, [NamedSharding(mesh, s) for s in spec_leaves]
+    )
+
+
+def shard_pytree(tree, specs, mesh: Mesh):
+    """device_put every leaf with its NamedSharding."""
+    shardings = tree_shardings(tree, specs, mesh)
+    return jax.tree.map(jax.device_put, tree, shardings)

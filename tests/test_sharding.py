@@ -1,0 +1,74 @@
+"""Tensor-parallel sharding tests on the 8-device virtual CPU mesh.
+
+The invariant: sharded execution computes the same thing.  Greedy decode is
+deterministic, so the committed token stream under (dp=2, tp=4) must equal the
+single-device stream bit-for-bit at the token level.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lantern_tpu import configs, trees
+from lantern_tpu.engine import spec as spec_engine
+from lantern_tpu.models import drafter as drf
+from lantern_tpu.models import transformer as tfm
+from lantern_tpu.ops.sampling import LogitsWarp
+from lantern_tpu.parallel import mesh as pmesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = configs.tiny_config(
+        cond_kind="label", block_size=16, num_heads=8, hidden_size=128,
+        vocab_size=512,
+    )
+    dcfg = configs.drafter_config(cfg, total_tokens=10, depth=2, top_k=4)
+    params = tfm.init_params(jax.random.key(0), cfg)
+    dparams = drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
+    return cfg, dcfg, params, dparams
+
+
+def run(cfg, dcfg, params, dparams, max_new=12):
+    ecfg = spec_engine.SpecDecodeConfig(
+        warp=LogitsWarp(temperature=0.0), cfg_scale=2.0, max_new=max_new,
+        mode="static",
+    )
+    res = spec_engine.generate(
+        params, dparams, ecfg, cfg, dcfg, trees.get_tree("mc_sim_7b_63"),
+        jnp.asarray([3]), jnp.asarray([cfg.num_classes]), jax.random.key(7),
+    )
+    return np.asarray(res.tokens), int(res.steps)
+
+
+@pytest.mark.parametrize("dp", [1, 2])
+def test_sharded_spec_decode_matches_single_device(setup, dp):
+    cfg, dcfg, params, dparams = setup
+    ref_tokens, ref_steps = run(cfg, dcfg, params, dparams)
+
+    mesh = pmesh.make_mesh(8, dp=dp)
+    sp = pmesh.shard_pytree(params, pmesh.base_param_specs(cfg, mesh), mesh)
+    sd = pmesh.shard_pytree(dparams, pmesh.drafter_param_specs(dparams), mesh)
+    with jax.set_mesh(mesh):
+        got_tokens, got_steps = run(cfg, dcfg, sp, sd)
+    np.testing.assert_array_equal(got_tokens, ref_tokens)
+    assert got_steps == ref_steps
+
+
+def test_param_specs_cover_tree(setup):
+    cfg, dcfg, params, dparams = setup
+    mesh = pmesh.make_mesh(8, dp=1)
+    specs = pmesh.base_param_specs(cfg, mesh)
+    # every param leaf must have a spec with matching rank
+    shardings = pmesh.tree_shardings(params, specs, mesh)
+    for (pth, leaf), (_, sh) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(shardings),
+    ):
+        assert len(sh.spec) <= leaf.ndim, (pth, sh.spec, leaf.shape)
