@@ -1,0 +1,136 @@
+"""generate_images task: prompts -> images + per-prompt statistics.
+
+Mirrors the reference entrypoint (entrypoints/generate_images.py): prompt
+sources (literal / tsv / MSCOCO caption json), [start, end) slicing for
+data-parallel sharding across hosts, per-prompt PNG output, and the
+``global_statistics_{start}_{end}.json`` schema (prompt, step_compression,
+latency) plus ``generation_configs.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def add_args(p):
+    p.add_argument("--model", default="llamagen",
+                   choices=["llamagen", "llamagen2", "anole", "lumina_mgpt"])
+    p.add_argument("--model-type", default="eagle", choices=["base", "eagle"])
+    p.add_argument("--model-size", default="XL")
+    p.add_argument("--base-path", default=None, help="base model checkpoint dir")
+    p.add_argument("--drafter-path", default=None)
+    p.add_argument("--vq-path", default=None)
+    p.add_argument("--t5-dir", default=None)
+    p.add_argument("--nearest-path", default=None)
+    p.add_argument("--random-weights", action="store_true",
+                   help="random-init weights (smoke/bench without ckpts)")
+    p.add_argument("--prompts", default="a photo of a corgi")
+    p.add_argument("--prompts-file", default=None,
+                   help=".tsv (PartiPrompts-style) or .json (MSCOCO captions)")
+    p.add_argument("--labels", default=None,
+                   help="comma-separated class ids (c2i mode)")
+    p.add_argument("--start-idx", type=int, default=0)
+    p.add_argument("--end-idx", type=int, default=10 ** 9)
+    p.add_argument("--output-dir", default="out")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top-k", type=int, default=2000)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--cfg", type=float, default=7.5)
+    p.add_argument("--static-tree", action="store_true", default=True)
+    p.add_argument("--dynamic-tree", dest="static_tree", action="store_false")
+    p.add_argument("--tree-choices", default="naive_extend_57")
+    p.add_argument("--lantern", action="store_true")
+    p.add_argument("--lantern-k", type=int, default=1000)
+    p.add_argument("--lantern-delta", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max-new", type=int, default=None)
+
+
+def load_prompts(args):
+    if args.labels is not None:
+        return [int(x) for x in args.labels.split(",")]
+    if args.prompts_file:
+        path = args.prompts_file
+        if path.endswith(".tsv"):
+            with open(path) as f:
+                lines = f.read().strip().split("\n")[1:]
+            return [ln.split("\t")[0] for ln in lines]
+        with open(path) as f:
+            data = json.load(f)
+        if isinstance(data, dict) and "annotations" in data:
+            return [a["caption"] for a in data["annotations"]]
+        return list(data)
+    return [p.strip() for p in str(args.prompts).split("|")]
+
+
+def build_session(args):
+    from lantern_tpu import configs
+    from lantern_tpu.engine.session import LlamaGenSession
+
+    task = "c2i" if args.labels is not None else "t2i"
+    image_tokens = 1024 if args.model == "llamagen2" else 256
+    cfg = configs.llamagen_config(args.model_size, task, image_tokens=image_tokens)
+    dcfg = configs.drafter_config(cfg, total_tokens=59, depth=4, top_k=10)
+
+    if args.random_weights or args.base_path is None:
+        use_drafter = args.model_type == "eagle"
+        sess = LlamaGenSession.random(cfg, dcfg if use_drafter else None)
+        if args.lantern:
+            import jax.numpy as jnp
+            from lantern_tpu.ops.vq_distance import nearest_latents
+
+            sess.params["nearest_latents"] = jnp.asarray(
+                nearest_latents(sess.vq_params["codebook"], k=args.lantern_k + 1)
+            )
+        return sess
+    return LlamaGenSession.from_pretrained(
+        args.base_path, cfg,
+        drafter_path=args.drafter_path if args.model_type == "eagle" else None,
+        dcfg=dcfg, vq_path=args.vq_path, nearest_path=args.nearest_path,
+        t5_dir=args.t5_dir,
+    )
+
+
+def run(args):
+    from PIL import Image
+
+    sess = build_session(args)
+    prompts = load_prompts(args)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    mode = ("ar" if args.model_type == "base"
+            else ("static" if args.static_tree else "dynamic"))
+    stats = {}
+    end = min(args.end_idx, len(prompts))
+    for idx in range(args.start_idx, end):
+        prompt = prompts[idx]
+        toks, st = sess.generate(
+            prompt,
+            max_new=args.max_new,
+            temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+            cfg_scale=args.cfg, mode=mode, tree=args.tree_choices,
+            lantern_k=args.lantern_k if args.lantern else 0,
+            lantern_delta=args.lantern_delta if args.lantern else 0.0,
+            seed=args.seed + idx,
+        )
+        if sess.vq_params is not None:
+            img = sess.decode_ids(toks)[0]
+            Image.fromarray(img).save(
+                os.path.join(args.output_dir, f"prompt_{idx}.png")
+            )
+        stats[f"prompt_{idx}"] = {
+            "prompt": prompt,
+            "step_compression": st.step_compression,
+            "latency": st.latency,
+        }
+        print(f"[{idx}] steps={st.steps} compression={st.step_compression:.3f} "
+              f"latency={st.latency:.2f}s")
+
+    with open(os.path.join(
+            args.output_dir,
+            f"global_statistics_{args.start_idx}_{end}.json"), "w") as f:
+        json.dump(stats, f, indent=4)
+    with open(os.path.join(args.output_dir, "generation_configs.json"), "w") as f:
+        json.dump({k: v for k, v in vars(args).items() if k != "task"}, f, indent=4)
+    return 0

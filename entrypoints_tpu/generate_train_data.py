@@ -1,0 +1,114 @@
+"""generate_train_data task: base-model traces -> drafter training samples.
+
+Reference: entrypoints/generate_train_data.py — run the base model teacher-
+forced over token sequences with hidden-state output and dump per-sample
+training files.  Two sources:
+- ``--self-generate``: sample sequences from the base model itself (true
+  self-distillation; reference does this via a separate generation pass)
+- ``--codes-dir``: pre-extracted VQ codes (extract_code output)
+
+Output format (one .npz per sample; see train/drafter_train.py docstring):
+tokens (drafter-shifted), hidden, target (next hidden), loss_mask.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def add_args(p):
+    p.add_argument("--model", default="llamagen")
+    p.add_argument("--model-size", default="XL")
+    p.add_argument("--base-path", default=None)
+    p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--codes-dir", default=None, help=".npz files with 'codes'")
+    p.add_argument("--self-generate", action="store_true")
+    p.add_argument("--prompts", default="a corgi|a red car|a mountain lake")
+    p.add_argument("--num-samples", type=int, default=8)
+    p.add_argument("--save-dir", default="data/drafter_train")
+    p.add_argument("--cfg", type=float, default=7.5)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top-k", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def run(args):
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lantern_tpu import configs
+    from lantern_tpu.engine.session import LlamaGenSession
+    from lantern_tpu.kv import KVCache
+    from lantern_tpu.models import transformer as tfm
+
+    cfg = configs.llamagen_config(args.model_size, "t2i")
+    if args.random_weights or args.base_path is None:
+        sess = LlamaGenSession.random(cfg, None, with_vq=False)
+    else:
+        sess = LlamaGenSession.from_pretrained(args.base_path, cfg)
+    params = sess.params
+    rope = tfm.make_rope_tables(cfg)
+    Tc = cfg.cls_token_num
+
+    @jax.jit
+    def teacher_forward(cond, tokens):
+        """cond [1, Tc, Dc], tokens [1, T] -> hidden [1, Tc + T, H]."""
+        embeds = jnp.concatenate(
+            [tfm.cond_embed(params, cfg, cond), tfm.token_embed(params, tokens)],
+            axis=1,
+        )
+        T = embeds.shape[1]
+        kv = KVCache.create(cfg, 1, max_len=T)
+        res = tfm.forward(params, cfg, embeds, kv, jnp.arange(T), rope)
+        return res.hidden
+
+    os.makedirs(args.save_dir, exist_ok=True)
+
+    if args.codes_dir:
+        sources = sorted(glob.glob(os.path.join(args.codes_dir, "*.npz")))[: args.num_samples]
+        items = []
+        for s in sources:
+            z = np.load(s)
+            items.append((z["codes"].reshape(-1),
+                          z["caption_emb"] if "caption_emb" in z else None))
+    else:
+        # self-generate with the (vanilla AR) base model
+        prompts = [p.strip() for p in args.prompts.split("|")]
+        items = []
+        for i in range(args.num_samples):
+            prompt = prompts[i % len(prompts)]
+            toks, _ = sess.generate(
+                prompt, mode="ar", temperature=args.temperature,
+                top_k=args.top_k, cfg_scale=args.cfg, seed=args.seed + i,
+            )
+            items.append((toks, prompt))
+
+    n_img = cfg.block_size
+    for i, (codes, meta) in enumerate(items):
+        if isinstance(meta, str) or meta is None:
+            cond, _, _ = sess._cond_pair(meta or "")
+        else:
+            cond = jnp.asarray(meta)[None]
+        tokens = jnp.asarray(np.asarray(codes, np.int32))[None]
+        hidden = np.asarray(teacher_forward(cond, tokens), dtype=np.float32)[0]
+
+        # drafter stream: token_{i+1} paired with hidden_i
+        # (cnets input layout; zeros over the conditioning prefix)
+        T_all = hidden.shape[0]
+        dr_tokens = np.zeros((T_all,), np.int32)
+        dr_tokens[Tc - 1 : Tc - 1 + len(codes)] = np.asarray(codes)
+        target = np.concatenate([hidden[1:], np.zeros_like(hidden[:1])], 0)
+        loss_mask = np.zeros((T_all,), np.float32)
+        loss_mask[Tc - 1 : Tc - 1 + n_img] = 1.0
+        loss_mask[-1] = 0.0
+
+        out = os.path.join(args.save_dir, f"sample_{i:06d}.npz")
+        np.savez_compressed(
+            out, tokens=dr_tokens[: T_all - 1], hidden=hidden[: T_all - 1],
+            target=target[: T_all - 1], loss_mask=loss_mask[: T_all - 1],
+        )
+    print(f"wrote {len(items)} samples to {args.save_dir}")
+    return 0

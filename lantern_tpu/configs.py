@@ -112,6 +112,7 @@ def llamagen_config(
     T5 caption tokens.  ``image_tokens`` = generated VQ tokens (256 for 256px
     f16, 576 for 384px, 1024 for 512px)."""
     dims = {
+        "nano": (2, 4, 64),        # CPU smoke tests only
         "B": (12, 12, 768),
         "L": (24, 16, 1024),
         "XL": (36, 20, 1280),

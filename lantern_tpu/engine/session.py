@@ -1,0 +1,190 @@
+"""High-level generation sessions: model + drafter + codec + prompts -> images.
+
+This is the user-facing API layer (reference: EaModel.from_pretrained /
+generate + the inference solvers, SURVEY.md §1 L4-L5).  A session owns the
+parameter pytrees and compiled engines and exposes:
+
+- ``generate(prompt_or_label, ...)`` -> (tokens, stats)
+- ``decode_ids(tokens)`` -> image array (via the JAX VQ-GAN)
+
+Sessions are cheap dataclass wrappers; all compute lives in the pure engine
+functions, so multi-request scheduling and sharding compose on top.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import trees
+from ..configs import DrafterConfig, ModelConfig
+from ..models import drafter as drf
+from ..models import transformer as tfm
+from ..models import vqgan
+from ..ops.acceptance import LanternSpec
+from ..ops.sampling import LogitsWarp
+from . import ar, spec
+
+
+@dataclasses.dataclass
+class GenStats:
+    step_compression: float
+    latency: float
+    steps: int
+    tokens: int
+
+
+@dataclasses.dataclass
+class LlamaGenSession:
+    cfg: ModelConfig
+    dcfg: Optional[DrafterConfig]
+    params: dict
+    dparams: Optional[dict]
+    vq_cfg: Optional[vqgan.VQGANConfig] = None
+    vq_params: Optional[dict] = None
+    t5 = None
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        base_path: str,
+        cfg: ModelConfig,
+        drafter_path: Optional[str] = None,
+        dcfg: Optional[DrafterConfig] = None,
+        vq_path: Optional[str] = None,
+        nearest_path: Optional[str] = None,
+        t5_dir: Optional[str] = None,
+    ) -> "LlamaGenSession":
+        from ..utils import checkpoint as ckpt
+        from ..ops.vq_distance import load_table
+
+        sd = ckpt.load_torch_dir(base_path)
+        params = ckpt.llamagen_params_from_torch(sd, cfg)
+        dparams = None
+        if drafter_path is not None:
+            if dcfg is None:
+                dcfg = DrafterConfig(model=cfg)
+            dsd = ckpt.load_torch_dir(drafter_path)
+            dparams = ckpt.drafter_params_from_torch(dsd, dcfg, embed=params["embed"])
+        vq_cfg = vq_params = None
+        if vq_path is not None:
+            vq_cfg = vqgan.vq16_config(codebook_size=cfg.vocab_size)
+            vq_params = vqgan.load_torch_state_dict(ckpt.load_torch_file(vq_path), vq_cfg)
+        if nearest_path is not None:
+            params["nearest_latents"] = jnp.asarray(load_table(nearest_path))
+        sess = cls(cfg=cfg, dcfg=dcfg, params=params, dparams=dparams,
+                   vq_cfg=vq_cfg, vq_params=vq_params)
+        if t5_dir is not None:
+            from ..utils.t5 import T5Embedder
+
+            sess.t5 = T5Embedder(t5_dir)
+        return sess
+
+    @classmethod
+    def random(
+        cls,
+        cfg: ModelConfig,
+        dcfg: Optional[DrafterConfig] = None,
+        seed: int = 0,
+        with_vq: bool = True,
+        aligned_drafter: bool = True,
+    ) -> "LlamaGenSession":
+        """Random-weight session for smoke tests / benches (no public
+        checkpoints in this environment)."""
+        params = tfm.init_params(jax.random.key(seed), cfg)
+        dparams = None
+        if dcfg is not None:
+            dparams = drf.init_drafter_params(
+                jax.random.key(seed + 1), dcfg, params["embed"]
+            )
+            if aligned_drafter:
+                H = cfg.hidden_size
+                fc = np.zeros((2 * H, H), np.float32)
+                fc[:H] = np.eye(H)
+                dparams["fc_w"] = jnp.asarray(fc, dtype=cfg.jnp_dtype)
+                dparams["layers"] = jax.tree.map(lambda a: a * 0, dparams["layers"])
+        vq_cfg = vq_params = None
+        if with_vq:
+            vq_cfg = vqgan.vq16_config(codebook_size=cfg.vocab_size)
+            vq_params = vqgan.init_vqgan_params(jax.random.key(seed + 2), vq_cfg)
+        return cls(cfg=cfg, dcfg=dcfg, params=params, dparams=dparams,
+                   vq_cfg=vq_cfg, vq_params=vq_params)
+
+    # ------------------------------------------------------------------
+    def _cond_pair(self, prompt):
+        cfg = self.cfg
+        if cfg.cond_kind == "label":
+            cond = jnp.asarray([int(prompt)])
+            uncond = jnp.asarray([cfg.num_classes])
+            return cond, uncond, None
+        # caption: T5 -> flip/zero pads (modeling_llamagen_kv.py:1387-1397)
+        from ..utils.t5 import RandomT5, flip_for_left_padding
+
+        t5 = self.t5 or RandomT5(dim=cfg.caption_dim, model_max_length=cfg.cls_token_num)
+        emb, mask = t5.get_text_embeddings([str(prompt)])
+        emb, mask = flip_for_left_padding(emb, mask)
+        cond = jnp.asarray(emb)
+        uncond = jnp.asarray(self.params["cond"]["uncond"])[None].astype(cond.dtype)
+        S = self.cfg.max_seq_len
+        pv = np.ones((2, S), bool)
+        pv[:, : cfg.cls_token_num] = mask.astype(bool)
+        return cond, uncond, jnp.asarray(pv)
+
+    def generate(
+        self,
+        prompt,
+        max_new: Optional[int] = None,
+        temperature: float = 1.0,
+        top_k: int = 2000,
+        top_p: float = 1.0,
+        cfg_scale: float = 7.5,
+        mode: str = "static",            # "static" | "dynamic" | "ar"
+        tree: str = "naive_extend_57",
+        lantern_k: int = 0,
+        lantern_delta: float = 0.0,
+        seed: int = 0,
+    ):
+        cfg = self.cfg
+        max_new = max_new or cfg.block_size
+        warp = LogitsWarp(temperature=temperature, top_k=top_k, top_p=top_p)
+        cond, uncond, pv = self._cond_pair(prompt)
+        rng = jax.random.key(seed)
+        t0 = time.perf_counter()
+        if mode == "ar" or self.dparams is None:
+            res = ar.generate(self.params, cfg, cond, uncond, max_new,
+                              cfg_scale, warp, rng, prefix_valid=pv)
+            jax.block_until_ready(res.tokens)
+            dt = time.perf_counter() - t0
+            toks = np.asarray(res.tokens)
+            return toks, GenStats(1.0, dt, max_new, max_new)
+
+        ecfg = spec.SpecDecodeConfig(
+            warp=warp, cfg_scale=cfg_scale,
+            lantern=LanternSpec(k=lantern_k, delta=lantern_delta),
+            max_new=max_new, mode=mode,
+        )
+        tspec = trees.get_tree(tree) if mode == "static" else None
+        res = spec.generate(
+            self.params, self.dparams, ecfg, cfg, self.dcfg, tspec,
+            cond, uncond, rng, prefix_valid=pv,
+        )
+        jax.block_until_ready(res.tokens)
+        dt = time.perf_counter() - t0
+        toks = np.asarray(res.tokens)[:max_new]
+        sc = float(res.accept_sum) / max(1.0, float(res.steps))
+        return toks, GenStats(sc, dt, int(res.steps), max_new)
+
+    def decode_ids(self, tokens: np.ndarray) -> np.ndarray:
+        """VQ codes [T] or [B, T] -> uint8 image array [B, H, W, 3]."""
+        if self.vq_params is None:
+            raise ValueError("session has no VQ codec loaded")
+        toks = jnp.asarray(np.atleast_2d(tokens))
+        grid = int(round(toks.shape[1] ** 0.5))
+        img = vqgan.decode_code(self.vq_params, self.vq_cfg, toks, grid)
+        img = np.asarray(img)
+        return (np.clip((img + 1.0) / 2.0, 0, 1) * 255).astype(np.uint8)

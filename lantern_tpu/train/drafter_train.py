@@ -1,0 +1,250 @@
+"""Drafter self-distillation training in JAX/optax.
+
+Reference: entrypoints/train_drafter/main.py — the drafter regresses the base
+model's next hidden state (SmoothL1 "vloss") and distills the base head's
+distribution (soft cross-entropy "ploss", weighted p_w), teacher-forced over
+(token, hidden) pairs with an image-token loss mask, AdamW(0.9, 0.95) with
+linear warmup+decay and gradient value-clipping.  The optional CFG-aware loss
+combines cond/uncond logit pairs before the soft-CE
+(train_drafter/main.py:133-160).
+
+TPU-first: the whole step (noise augmentation, forward, loss, clip, update,
+metrics) is one jitted function; data parallelism = shard the batch over the
+``dp`` mesh axis with replicated params (XLA inserts the gradient psum).
+
+Sample format (one .npz per sequence, produced by generate_train_data):
+  tokens    [T] int32   drafter input tokens (shifted stream: token_{i+1})
+  hidden    [T, H]      base hidden states h_i (post final norm)
+  target    [T, H]      h_{i+1} (zero row at the end)
+  loss_mask [T] f32     1 on image-token positions
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Iterator, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs import DrafterConfig
+from ..kv import KVCache
+from ..models import drafter as drf
+from ..models import transformer as tfm
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-4
+    betas: tuple = (0.9, 0.95)
+    grad_clip: float = 0.5
+    p_w: float = 0.1
+    num_epochs: int = 20
+    warmup_steps: int = 0
+    total_steps: int = 0
+    noise: str = "uniform"           # "uniform" | "gaussian" | "none"
+    noise_std: float = 0.2
+    cfg_loss: bool = False
+    cfg_scale: float = 3.0
+
+
+def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+    d = jnp.abs(pred - target)
+    return jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+
+
+def add_noise(rng: jax.Array, hidden: jnp.ndarray, tcfg: TrainConfig) -> jnp.ndarray:
+    """Reference noise augmentation (data_utils.py:16-41): uniform noise is
+    scaled by 512/seq_len."""
+    if tcfg.noise == "none" or tcfg.noise_std == 0.0:
+        return hidden
+    if tcfg.noise == "uniform":
+        scale = tcfg.noise_std * 512.0 / hidden.shape[1]
+        return hidden + (jax.random.uniform(rng, hidden.shape) - 0.5) * scale
+    return hidden + jax.random.normal(rng, hidden.shape) * tcfg.noise_std
+
+
+class Metrics(NamedTuple):
+    loss: jnp.ndarray
+    vloss: jnp.ndarray
+    ploss: jnp.ndarray
+    correct: jnp.ndarray     # top-1 vs the base head's argmax
+    top_acc: jnp.ndarray     # [3] top-1/2/3 correct counts
+    total: jnp.ndarray
+
+
+def drafter_teacher_forward(
+    dparams: dict, dcfg: DrafterConfig, rope, tokens, hidden, attn_valid
+) -> jnp.ndarray:
+    """Teacher-forced causal drafter forward over full sequences (no cache
+    reuse — training batches are independent)."""
+    B, T = tokens.shape
+    kv = KVCache.create(dcfg.model, B, max_len=T)
+    x = drf.fuse_inputs(dparams, tokens, hidden)
+    block = jnp.tril(jnp.ones((T, T), bool))[None] & attn_valid[:, None, :].astype(bool)
+    res = tfm.forward(
+        dparams, dcfg.model, x, kv, jnp.arange(T), rope,
+        block_mask=block, commit=False,
+    )
+    return res.hidden
+
+
+def loss_and_metrics(
+    dparams: dict,
+    dcfg: DrafterConfig,
+    rope,
+    head: jnp.ndarray,            # [H, V] frozen base lm_head
+    batch: dict,
+    tcfg: TrainConfig,
+) -> tuple[jnp.ndarray, Metrics]:
+    predict = drafter_teacher_forward(
+        dparams, dcfg, rope, batch["tokens"], batch["hidden"], batch["attn_valid"]
+    )
+    target = batch["target"]
+    mask = batch["loss_mask"][..., None]                     # [B, T, 1]
+
+    vloss = jnp.sum(mask * jnp.mean(smooth_l1(predict, target), -1, keepdims=True))
+    vloss = vloss / (jnp.sum(mask) + 1e-5)
+
+    out_head = (predict @ head).astype(jnp.float32)
+    tgt_head = jax.lax.stop_gradient((target @ head).astype(jnp.float32))
+    p_mask = mask
+    if tcfg.cfg_loss:
+        # rows alternate (cond, uncond); official-impl CFG combine
+        # (train_drafter/main.py:143-150)
+        tgt_head = tgt_head[::2] + tcfg.cfg_scale * (tgt_head[::2] - tgt_head[1::2])
+        out_head = out_head[::2] + tcfg.cfg_scale * (out_head[::2] - out_head[1::2])
+        p_mask = mask[::2]
+    tgt_p = jax.nn.softmax(tgt_head, axis=-1)
+    out_logp = jax.nn.log_softmax(out_head, axis=-1)
+    ploss = -jnp.sum(p_mask * jnp.sum(tgt_p * out_logp, -1, keepdims=True))
+    ploss = ploss / (jnp.sum(p_mask) + 1e-5)
+
+    loss = vloss + tcfg.p_w * ploss
+
+    # top-k accuracy vs the teacher argmax (train_drafter/main.py:71-100)
+    tgt_tok = jnp.argmax(tgt_head, axis=-1)
+    _, topk = jax.lax.top_k(out_head, 3)
+    hits = topk == tgt_tok[..., None]                        # [B', T, 3]
+    m = p_mask[..., 0]
+    top_acc = jnp.stack(
+        [jnp.sum(m * jnp.any(hits[..., : k + 1], -1)) for k in range(3)]
+    )
+    metrics = Metrics(
+        loss=loss, vloss=vloss, ploss=ploss,
+        correct=top_acc[0], top_acc=top_acc, total=jnp.sum(m),
+    )
+    return loss, metrics
+
+
+class TrainState(NamedTuple):
+    dparams: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def build_optimizer(tcfg: TrainConfig):
+    if tcfg.warmup_steps > 0 and tcfg.total_steps > 0:
+        lr = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, tcfg.lr, tcfg.warmup_steps),
+                optax.linear_schedule(
+                    tcfg.lr, 0.0, max(tcfg.total_steps - tcfg.warmup_steps, 1)
+                ),
+            ],
+            [tcfg.warmup_steps],
+        )
+    else:
+        lr = tcfg.lr
+    return optax.chain(
+        optax.clip(tcfg.grad_clip),   # value clip (accelerator.clip_grad_value_)
+        optax.adamw(lr, b1=tcfg.betas[0], b2=tcfg.betas[1]),
+    )
+
+
+def init_train_state(dparams: dict, tcfg: TrainConfig) -> TrainState:
+    opt = build_optimizer(tcfg)
+    trainable = {k: v for k, v in dparams.items() if k != "embed"}
+    return TrainState(
+        dparams=dparams, opt_state=opt.init(trainable), step=jnp.zeros((), jnp.int32)
+    )
+
+
+@partial(jax.jit, static_argnames=("dcfg", "tcfg"))
+def train_step(
+    state: TrainState,
+    dcfg: DrafterConfig,
+    tcfg: TrainConfig,
+    rope,
+    head: jnp.ndarray,
+    batch: dict,
+    rng: jax.Array,
+) -> tuple[TrainState, Metrics]:
+    batch = dict(batch, hidden=add_noise(rng, batch["hidden"], tcfg))
+
+    def lf(trainable):
+        dparams = dict(trainable, embed=state.dparams["embed"])
+        return loss_and_metrics(dparams, dcfg, rope, head, batch, tcfg)
+
+    trainable = {k: v for k, v in state.dparams.items() if k != "embed"}
+    (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(trainable)
+    opt = build_optimizer(tcfg)
+    updates, opt_state = opt.update(grads, state.opt_state, trainable)
+    trainable = optax.apply_updates(trainable, updates)
+    dparams = dict(trainable, embed=state.dparams["embed"])
+    return TrainState(dparams=dparams, opt_state=opt_state, step=state.step + 1), metrics
+
+
+@partial(jax.jit, static_argnames=("dcfg", "tcfg"))
+def eval_step(
+    state: TrainState, dcfg: DrafterConfig, tcfg: TrainConfig, rope,
+    head: jnp.ndarray, batch: dict,
+) -> Metrics:
+    _, metrics = loss_and_metrics(state.dparams, dcfg, rope, head, batch, tcfg)
+    return metrics
+
+
+# ---------------------------------------------------------------------------
+# data pipeline
+# ---------------------------------------------------------------------------
+
+def load_sample(path: str) -> dict:
+    z = np.load(path)
+    return {k: z[k] for k in ("tokens", "hidden", "target", "loss_mask")}
+
+
+def batch_iterator(
+    paths, batch_size: int, max_len: int, rng: np.random.Generator,
+    shuffle: bool = True,
+) -> Iterator[dict]:
+    """Pad/truncate samples to ``max_len`` and batch them; ``attn_valid``
+    masks pad columns out of the causal attention."""
+    order = np.arange(len(paths))
+    if shuffle:
+        rng.shuffle(order)
+    for i in range(0, len(order) - batch_size + 1, batch_size):
+        toks, hids, tgts, masks, valid = [], [], [], [], []
+        for j in order[i : i + batch_size]:
+            s = load_sample(paths[j])
+            T = min(len(s["tokens"]), max_len)
+            H = s["hidden"].shape[-1]
+            t = np.zeros((max_len,), np.int32)
+            h = np.zeros((max_len, H), np.float32)
+            g = np.zeros((max_len, H), np.float32)
+            m = np.zeros((max_len,), np.float32)
+            v = np.zeros((max_len,), np.float32)
+            t[:T] = s["tokens"][:T]
+            h[:T] = s["hidden"][:T]
+            g[:T] = s["target"][:T]
+            m[:T] = s["loss_mask"][:T]
+            v[:T] = 1.0
+            toks.append(t); hids.append(h); tgts.append(g)
+            masks.append(m); valid.append(v)
+        yield {
+            "tokens": np.stack(toks), "hidden": np.stack(hids),
+            "target": np.stack(tgts), "loss_mask": np.stack(masks),
+            "attn_valid": np.stack(valid),
+        }
