@@ -188,3 +188,97 @@ class LlamaGenSession:
         img = vqgan.decode_code(self.vq_params, self.vq_cfg, toks, grid)
         img = np.asarray(img)
         return (np.clip((img + 1.0) / 2.0, 0, 1) * 255).astype(np.uint8)
+
+
+@dataclasses.dataclass
+class ChameleonSession:
+    """Anole / Lumina-mGPT generation session over token prompts.
+
+    Prompts are Chameleon BPE token lists (callers tokenize text with the
+    family tokenizer; a hash-based fallback keeps smoke tests runnable).
+    Generated image tokens translate to VQ codes by the image-token offset.
+    """
+
+    cfg: ModelConfig
+    dcfg: Optional[DrafterConfig]
+    params: dict
+    dparams: Optional[dict]
+    family: str = "anole"            # "anole" | "lumina"
+    grid: tuple = (32, 32)           # (h, w) latent grid (anole 512px: 32x32)
+
+    @classmethod
+    def random(cls, cfg: ModelConfig, dcfg: Optional[DrafterConfig] = None,
+               seed: int = 0, family: str = "anole", grid=(8, 8),
+               aligned_drafter: bool = True) -> "ChameleonSession":
+        params = tfm.init_params(jax.random.key(seed), cfg)
+        dparams = None
+        if dcfg is not None:
+            dparams = drf.init_drafter_params(
+                jax.random.key(seed + 1), dcfg, params["embed"]
+            )
+            if aligned_drafter:
+                H = cfg.hidden_size
+                fc = np.zeros((2 * H, H), np.float32)
+                fc[:H] = np.eye(H)
+                dparams["fc_w"] = jnp.asarray(fc, dtype=cfg.jnp_dtype)
+                dparams["layers"] = jax.tree.map(lambda a: a * 0, dparams["layers"])
+        return cls(cfg=cfg, dcfg=dcfg, params=params, dparams=dparams,
+                   family=family, grid=grid)
+
+    def _prompt(self, text_tokens):
+        from ..models import chameleon as cham
+
+        if self.family == "anole":
+            return cham.anole_token_prompt(text_tokens)
+        return cham.lumina_token_prompt(text_tokens)
+
+    def generate(
+        self,
+        text_tokens,
+        max_new: Optional[int] = None,
+        temperature: float = 1.0,
+        top_k: int = 2000,
+        top_p: float = 1.0,
+        cfg_scale: float = 3.0,
+        mode: str = "static",
+        tree: str = "mc_sim_7b_63",
+        lantern_k: int = 0,
+        lantern_delta: float = 0.0,
+        seed: int = 0,
+    ):
+        from .. import trees as trees_mod
+        from ..models import chameleon as cham
+        from ..ops.acceptance import LanternSpec
+        from ..ops.sampling import LogitsWarp
+
+        cfg = self.cfg
+        h, w = self.grid
+        if max_new is None:
+            max_new = h * w if self.family == "anole" else h * (w + 1) + 1
+        warp = LogitsWarp(temperature=temperature, top_k=top_k, top_p=top_p)
+        tp = self._prompt(list(text_tokens))
+        mask = jnp.asarray(cham.non_image_token_mask(cfg.vocab_size))
+        logits_fn = None
+        if self.family == "lumina":
+            logits_fn = cham.LuminaGridFSM(
+                w=w, h=h, image_start_idx=int(tp.pos_diff),
+                vocab_size=cfg.vocab_size,
+            )
+            mask = None  # the FSM subsumes the static suppress mask
+        ecfg = spec.SpecDecodeConfig(
+            warp=warp, cfg_scale=cfg_scale,
+            lantern=LanternSpec(k=lantern_k, delta=lantern_delta),
+            max_new=max_new, mode=mode,
+        )
+        tspec = trees.get_tree(tree) if mode == "static" else None
+        t0 = time.perf_counter()
+        res = spec.generate(
+            self.params, self.dparams, ecfg, cfg, self.dcfg, tspec,
+            None, None, jax.random.key(seed),
+            token_prompt=tp, logits_mask=mask, logits_fn=logits_fn,
+        )
+        jax.block_until_ready(res.tokens)
+        dt = time.perf_counter() - t0
+        toks = np.asarray(res.tokens)[:max_new]
+        sc = float(res.accept_sum) / max(1.0, float(res.steps))
+        return toks, GenStats(sc, dt, int(res.steps), max_new)

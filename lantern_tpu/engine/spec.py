@@ -75,6 +75,12 @@ def _safe_gather_ext(vec_ext: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return vec_ext[jnp.where(idx < 0, n, idx)]
 
 
+def _mask_logits(logits: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if mask is None:
+        return logits
+    return jnp.where(mask, jnp.finfo(jnp.float32).min, logits)
+
+
 class _Ctx(NamedTuple):
     """Per-run closure: params + tables (traced constants)."""
     params: dict
@@ -83,6 +89,22 @@ class _Ctx(NamedTuple):
     drope: tuple
     nearest: Optional[jnp.ndarray]
     prefix_valid: Optional[jnp.ndarray]
+    # Chameleon-family extras (None for LlamaGen):
+    pos_offsets: Optional[jnp.ndarray] = None    # [2] per-branch position shift
+    logits_mask: Optional[jnp.ndarray] = None    # [V] True = forbidden token
+    # position-dependent logits constraint (Lumina grid FSM):
+    # fn(logits [T, V], positions [T]) -> logits; static per run
+    logits_fn: object = None
+
+
+class TokenPrompt(NamedTuple):
+    """Token-based conditioning prefix (Chameleon families): cond/uncond rows
+    with per-branch position ids and left-pad masks
+    (ea_model_anole.py:1026-1046)."""
+    tokens: jnp.ndarray        # [2, L]
+    positions: jnp.ndarray     # [2, L] base position ids
+    valid: jnp.ndarray         # [2, L] bool (False on left pads)
+    pos_diff: jnp.ndarray      # [] uncond position offset (L - 2 for anole)
 
 
 def _verify_and_update(
@@ -107,16 +129,27 @@ def _verify_and_update(
 
     # --- base tree-verification forward (provisional KV write) ---
     tok2 = jnp.broadcast_to(tree_tokens[None, :], (2, N1))
+    positions = tree_pos + state.base_kv.length
+    if ctx.pos_offsets is not None:
+        positions = jnp.maximum(positions[None, :] - ctx.pos_offsets[:, None], 0)
     res = tfm.forward(
         ctx.params, cfg, tfm.token_embed(ctx.params, tok2),
         state.base_kv,
-        positions=tree_pos + state.base_kv.length,
+        positions=positions,
         rope=ctx.rope,
         block_mask=tree_mask,
         prefix_valid=ctx.prefix_valid,
         commit=False,
     )
     logits_all = cfg_combine(tfm.logits_head(ctx.params, res.hidden), ecfg.cfg_scale)[0]
+    if ctx.logits_mask is not None:
+        # suppress non-image tokens before verification (ea_model_anole:931)
+        logits_all = jnp.where(ctx.logits_mask, jnp.finfo(jnp.float32).min, logits_all)
+    if ctx.logits_fn is not None:
+        # position-indexed constraints over tree nodes (Lumina grid FSM,
+        # ea_model_lumina_mgpt.py:600-605); cond-branch positions index the
+        # grid state
+        logits_all = ctx.logits_fn(logits_all, tree_pos + state.base_kv.length)
     hidden_new = res.hidden                                     # [2, N+1, H]
 
     retrieve_safe = jnp.where(retrieve < 0, 0, retrieve)
@@ -161,6 +194,8 @@ def _verify_and_update(
     out_hidden, draft_kv = drf.extend(
         ctx.dparams, dcfg, ctx.drope, state.draft_kv,
         jnp.broadcast_to(next_tok[None, :], (2, D)), hid_rows, n_acc,
+        prefix_valid=ctx.prefix_valid,
+        pos_offsets=ctx.pos_offsets,
     )
     root_hidden = jax.lax.dynamic_slice_in_dim(out_hidden, alen, 1, axis=1)
 
@@ -226,6 +261,8 @@ def make_static_step(
         new_draft, dkv = drf.draft_static(
             ctx.dparams, dcfg, spec, ctx.drope, state.draft_kv, root_hidden,
             ctx.params["lm_head"], ecfg.cfg_scale, ecfg.warp, draft_rng,
+            pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
+            logits_fn=ctx.logits_fn,
         )
         return state._replace(draft=new_draft, draft_kv=dkv, rng=rng)
 
@@ -255,13 +292,15 @@ def make_dynamic_step(
         new_draft, dkv = drf.draft_dynamic(
             ctx.dparams, dcfg, ctx.drope, state.draft_kv, root_hidden,
             state.root_token, ctx.params["lm_head"], ecfg.cfg_scale, ecfg.warp,
+            pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
+            logits_fn=ctx.logits_fn,
         )
         return state._replace(draft=new_draft, draft_kv=dkv)
 
     return step
 
 
-@partial(jax.jit, static_argnames=("ecfg", "cfg", "dcfg", "spec", "max_steps"))
+@partial(jax.jit, static_argnames=("ecfg", "cfg", "dcfg", "spec", "max_steps", "logits_fn"))
 def generate(
     params: dict,
     dparams: dict,
@@ -274,56 +313,109 @@ def generate(
     rng: jax.Array,
     max_steps: int = 0,
     prefix_valid: Optional[jnp.ndarray] = None,
+    token_prompt: Optional[TokenPrompt] = None,
+    logits_mask: Optional[jnp.ndarray] = None,
+    logits_fn=None,
 ) -> SpecResult:
     """Full speculative generation for one request.  ``spec`` is required in
-    static mode and ignored in dynamic mode."""
+    static mode and ignored in dynamic mode.
+
+    Two conditioning styles: embedding prefixes (LlamaGen labels/captions;
+    pass ``cond``/``uncond``) or token prompts (Chameleon families; pass
+    ``token_prompt``, with cond/uncond ignored).
+    """
     rope = tfm.make_rope_tables(cfg)
     drope = tfm.make_rope_tables(dcfg.model)
     nearest = params.get("nearest_latents")
     if ecfg.lantern.enabled and nearest is None:
         raise ValueError("lantern enabled but params lack 'nearest_latents'")
-    ctx = _Ctx(params=params, dparams=dparams, rope=rope, drope=drope,
-               nearest=nearest, prefix_valid=prefix_valid)
 
-    Tc = cfg.cls_token_num
     pad = (spec.path_len if ecfg.mode == "static" else dcfg.depth + 2) + 1
     max_steps = max_steps or ecfg.max_new
-
-    # ---- base prefill (cond/uncond pair) ----
-    cond_pair = jnp.concatenate([cond, uncond], axis=0)
-    embeds = tfm.cond_embed(ctx.params, cfg, cond_pair)
     base_kv = KVCache.create(cfg, 2)
-    res = tfm.forward(
-        ctx.params, cfg, embeds, base_kv, jnp.arange(Tc), rope,
-        prefix_valid=prefix_valid,
-    )
-    base_kv = res.kv
-    logits0 = cfg_combine(tfm.logits_head(ctx.params, res.hidden[:, -1:]), ecfg.cfg_scale)
-    rng, r0 = jax.random.split(rng)
-    t0 = sample_token(r0, logits0[0, -1], ecfg.warp).astype(jnp.int32)
-
-    # ---- drafter prefill: (shifted tokens, base hiddens) over the prefix ----
     dk = KVCache.create(dcfg.model, 2)
-    dtok = jnp.concatenate(
-        [jnp.zeros((Tc - 1,), jnp.int32), t0.reshape(1)]
-    ) if Tc > 1 else t0.reshape(1)
-    dtok2 = jnp.broadcast_to(dtok[None, :], (2, Tc))
-    out_hidden, dk = drf.extend(
-        ctx.dparams, dcfg, drope, dk, dtok2, res.hidden, Tc,
-    )
-    root_hidden = out_hidden[:, -1:]
+
+    if token_prompt is None:
+        Tc = cfg.cls_token_num
+        ctx = _Ctx(params=params, dparams=dparams, rope=rope, drope=drope,
+                   nearest=nearest, prefix_valid=prefix_valid,
+                   logits_mask=logits_mask, logits_fn=logits_fn)
+        # ---- base prefill (cond/uncond embedding pair) ----
+        cond_pair = jnp.concatenate([cond, uncond], axis=0)
+        embeds = tfm.cond_embed(ctx.params, cfg, cond_pair)
+        res = tfm.forward(
+            ctx.params, cfg, embeds, base_kv, jnp.arange(Tc), rope,
+            prefix_valid=prefix_valid,
+        )
+        base_kv = res.kv
+        logits0 = cfg_combine(tfm.logits_head(ctx.params, res.hidden[:, -1:]), ecfg.cfg_scale)
+        rng, r0 = jax.random.split(rng)
+        t0 = sample_token(r0, _mask_logits(logits0[0, -1], logits_mask), ecfg.warp).astype(jnp.int32)
+
+        # ---- drafter prefill: (shifted tokens, base hiddens) ----
+        dtok = jnp.concatenate(
+            [jnp.zeros((Tc - 1,), jnp.int32), t0.reshape(1)]
+        ) if Tc > 1 else t0.reshape(1)
+        dtok2 = jnp.broadcast_to(dtok[None, :], (2, Tc))
+        out_hidden, dk = drf.extend(
+            ctx.dparams, dcfg, drope, dk, dtok2, res.hidden, Tc,
+        )
+        root_hidden = out_hidden[:, -1:]
+    else:
+        tp = token_prompt
+        L = tp.tokens.shape[1]
+        S = base_kv.max_len
+        pv = jnp.ones((2, S), bool)
+        pv = jax.lax.dynamic_update_slice(pv, tp.valid.astype(bool), (0, 0))
+        prefix_valid = pv
+        offs = jnp.stack([jnp.zeros((), jnp.int32), tp.pos_diff.astype(jnp.int32)])
+        ctx = _Ctx(params=params, dparams=dparams, rope=rope, drope=drope,
+                   nearest=nearest, prefix_valid=prefix_valid,
+                   pos_offsets=offs, logits_mask=logits_mask,
+                   logits_fn=logits_fn)
+        # ---- base prefill over the token prompt ----
+        block = jnp.tril(jnp.ones((L, L), bool))[None] & tp.valid[:, None, :].astype(bool)
+        res = tfm.forward(
+            ctx.params, cfg, tfm.token_embed(ctx.params, tp.tokens), base_kv,
+            tp.positions, rope, block_mask=block,
+        )
+        base_kv = res.kv
+        logits0 = cfg_combine(tfm.logits_head(ctx.params, res.hidden[:, -1:]), ecfg.cfg_scale)
+        rng, r0 = jax.random.split(rng)
+        first_logits = _mask_logits(logits0[0, -1], logits_mask)
+        if logits_fn is not None:
+            first_logits = logits_fn(
+                first_logits[None, :], (L - 1) + jnp.zeros((1,), jnp.int32)
+            )[0]
+        t0 = sample_token(r0, first_logits, ecfg.warp).astype(jnp.int32)
+
+        # ---- drafter prefill: tokens shifted left one, hiddens aligned ----
+        dtok = jnp.concatenate(
+            [tp.tokens[:, 1:], jnp.broadcast_to(t0.reshape(1, 1), (2, 1))], axis=1
+        )
+        dpos = jnp.arange(L)[None, :]
+        dpos = jnp.maximum(dpos - offs[:, None], 0)
+        out_hidden, dk = drf.extend(
+            ctx.dparams, dcfg, drope, dk, dtok, res.hidden, L,
+            prefix_valid=prefix_valid, positions=dpos,
+        )
+        root_hidden = out_hidden[:, -1:]
 
     rng, draft_rng = jax.random.split(rng)
     if ecfg.mode == "static":
         draft, draft_kv = drf.draft_static(
             ctx.dparams, dcfg, spec, drope, dk, root_hidden,
             ctx.params["lm_head"], ecfg.cfg_scale, ecfg.warp, draft_rng,
+            pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
+            logits_fn=ctx.logits_fn,
         )
         step = make_static_step(ecfg, cfg, dcfg, spec, ctx)
     else:
         draft, draft_kv = drf.draft_dynamic(
             ctx.dparams, dcfg, drope, dk, root_hidden, t0,
             ctx.params["lm_head"], ecfg.cfg_scale, ecfg.warp,
+            pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
+            logits_fn=ctx.logits_fn,
         )
         step = make_dynamic_step(ecfg, cfg, dcfg, ctx)
 

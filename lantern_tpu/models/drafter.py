@@ -72,14 +72,23 @@ def extend(
     hidden: jnp.ndarray,        # [B2, T, H] base hiddens aligned with tokens
     n_valid,                    # traced: rows actually accepted (<= T)
     prefix_valid: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,
+    pos_offsets: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, KVCache]:
     """Append accepted (token, hidden) pairs to the drafter's committed
     prefix.  Writes all T rows (tail past ``n_valid`` is garbage that later
     writes overwrite) but advances the cache length by ``n_valid`` only.
-    Returns the drafter output hiddens [B2, T, H] and the updated cache."""
+    Returns the drafter output hiddens [B2, T, H] and the updated cache.
+
+    ``pos_offsets`` [2]: per-branch position offsets (Chameleon sequential-
+    prompt CFG: the uncond stream restarts near 0, cnets_anole.py:817-830);
+    positions are clamped at 0.  ``positions`` overrides entirely."""
     T = tokens.shape[1]
     x = fuse_inputs(params, tokens, hidden)
-    positions = kv.length + jnp.arange(T)
+    if positions is None:
+        positions = kv.length + jnp.arange(T)
+        if pos_offsets is not None:
+            positions = jnp.maximum(positions[None, :] - pos_offsets[:, None], 0)
     res = tfm.forward(
         params, dcfg.model, x, kv, positions, rope,
         prefix_valid=prefix_valid, commit=False,
@@ -87,10 +96,23 @@ def extend(
     return res.hidden, res.kv.commit(n_valid)
 
 
-def _head_logits(base_lm_head: jnp.ndarray, hidden: jnp.ndarray, cfg_scale: float) -> jnp.ndarray:
-    """Base lm_head over drafter hiddens, CFG-combined: [2, T, H] -> [T, V]."""
+def _head_logits(
+    base_lm_head: jnp.ndarray, hidden: jnp.ndarray, cfg_scale: float,
+    logits_mask: Optional[jnp.ndarray] = None,
+    logits_fn=None, positions: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Base lm_head over drafter hiddens, CFG-combined: [2, T, H] -> [T, V].
+    ``logits_mask`` (bool [V], True = forbidden) suppresses non-image tokens
+    (Chameleon families, cnets_anole.py:837); ``logits_fn`` applies the
+    position-indexed constraints inside the drafter (Lumina,
+    cnets_lumina_mgpt.py:1187-1224)."""
     logits = (hidden @ base_lm_head).astype(jnp.float32)
-    return cfg_combine(logits, cfg_scale)[0]
+    logits = cfg_combine(logits, cfg_scale)[0]
+    if logits_mask is not None:
+        logits = jnp.where(logits_mask, jnp.finfo(jnp.float32).min, logits)
+    if logits_fn is not None:
+        logits = logits_fn(logits, positions)
+    return logits
 
 
 def _level_prefix_mask(kv_len, S: int, lvl_mask: jnp.ndarray, offset: int, T: int):
@@ -122,6 +144,9 @@ def draft_static(
     cfg_scale: float,
     warp: LogitsWarp,
     rng: jax.Array,
+    pos_offsets: Optional[jnp.ndarray] = None,
+    logits_mask: Optional[jnp.ndarray] = None,
+    logits_fn=None,
 ) -> tuple[StaticDraft, KVCache]:
     """EAGLE-1 static-tree drafting (topK_genrate_v1).  Returns the draft and
     the cache whose buffer now holds the provisional tree-level rows (length
@@ -143,7 +168,16 @@ def draft_static(
         vals = jnp.take_along_axis(logits, idx, axis=-1)
         return idx, vals, jnp.zeros((logits.shape[0], 0), jnp.float32)
 
-    logits = _head_logits(base_lm_head, out_hidden, cfg_scale)      # [1, V]
+    def level_positions(d, T):
+        pos = kv.length + jnp.zeros((T,), jnp.int32) + d
+        if pos_offsets is not None:
+            pos = jnp.maximum(pos[None, :] - pos_offsets[:, None], 0)
+        return pos
+
+    # the root row scores depth-1 tokens, which sit at cond position
+    # kv.length + 1 -> FSM node-position argument is kv.length
+    logits = _head_logits(base_lm_head, out_hidden, cfg_scale, logits_mask,
+                          logits_fn, kv.length + jnp.zeros((1,), jnp.int32))
     n_levels = len(spec.levels) + 1
     for d in range(n_levels):
         rng, r = jax.random.split(rng)
@@ -163,7 +197,7 @@ def draft_static(
         lvl_mask = jnp.asarray(lvl.attn_mask)
         res = tfm.forward(
             params, dcfg.model, x, kv,
-            positions=kv.length + jnp.zeros((T,), jnp.int32) + d,
+            positions=level_positions(d, T),
             rope=rope,
             block_mask=lvl_mask[:, off:],
             prefix_override=_level_prefix_mask(kv.length, S, lvl_mask, off, T),
@@ -172,7 +206,8 @@ def draft_static(
         )
         kv = res.kv
         out_hidden = res.hidden
-        logits = _head_logits(base_lm_head, out_hidden, cfg_scale)   # [n_d, V]
+        logits = _head_logits(base_lm_head, out_hidden, cfg_scale, logits_mask,
+                              logits_fn, kv.length + jnp.zeros((T,), jnp.int32) + d)
 
     return StaticDraft(
         ss_token=jnp.concatenate(ss_token, axis=0),
@@ -208,6 +243,9 @@ def draft_dynamic(
     base_lm_head: jnp.ndarray,
     cfg_scale: float,
     warp: LogitsWarp,
+    pos_offsets: Optional[jnp.ndarray] = None,
+    logits_mask: Optional[jnp.ndarray] = None,
+    logits_fn=None,
 ) -> tuple[DynamicDraft, KVCache]:
     """EAGLE-2 dynamic beam drafting (topK_genrate, cnets_llamagen.py:732-912).
 
@@ -219,12 +257,13 @@ def draft_dynamic(
     N = dcfg.total_tokens - 1          # nodes excl. root
     S = kv.max_len
 
-    def head_logp(hidden):
-        logits = _head_logits(base_lm_head, hidden, cfg_scale)
+    def head_logp(hidden, positions):
+        logits = _head_logits(base_lm_head, hidden, cfg_scale, logits_mask,
+                              logits_fn, positions)
         logits = warp_logits(logits, warp)
         return jax.nn.log_softmax(logits, axis=-1)
 
-    lp = head_logp(root_hidden)                                  # [1, V]
+    lp = head_logp(root_hidden, kv.length + jnp.zeros((1,), jnp.int32))
     topk_p, topk_i = jax.lax.top_k(lp, K)
     scores = topk_p[0]                                           # [K]
     scores_list = [scores]                                       # level blobs
@@ -239,9 +278,12 @@ def draft_dynamic(
     for i in range(depth):
         x = fuse_inputs(params, tokens, input_hidden)
         pm = _level_prefix_mask(kv.length, S, tree_mask, i * K, K)
+        pos_i = kv.length + jnp.zeros((K,), jnp.int32) + i
+        if pos_offsets is not None:
+            pos_i = jnp.maximum(pos_i[None, :] - pos_offsets[:, None], 0)
         res = tfm.forward(
             params, dcfg.model, x, kv,
-            positions=kv.length + jnp.zeros((K,), jnp.int32) + i,
+            positions=pos_i,
             rope=rope,
             block_mask=tree_mask[:, i * K:],
             prefix_override=pm,
@@ -254,7 +296,7 @@ def draft_dynamic(
         bias = 1 + K * K * max(i - 1, 0) + (K if i > 0 else 0)
         parents_list.append(topk_cs_index + bias)
 
-        lp = head_logp(out_hidden)                                # [K, V]
+        lp = head_logp(out_hidden, kv.length + jnp.zeros((K,), jnp.int32) + i)
         topk_p, topk_i = jax.lax.top_k(lp, K)                     # [K, K]
         cu = topk_p + scores[:, None]
         scores, topk_cs_index = jax.lax.top_k(cu.reshape(-1), K)
