@@ -134,12 +134,17 @@ def lumina_token_prompt(text_tokens: Sequence[int]) -> TokenPrompt:
 
 class LuminaGridFSM(NamedTuple):
     """Position-indexed image-grammar constraints (hashable; usable as a
-    static logits_fn factory)."""
+    static logits_fn factory).  Ids are configurable for small-vocab tests;
+    defaults match Lumina-mGPT."""
 
     w: int                       # latent width (tokens per row)
     h: int                       # latent height
     image_start_idx: int         # index of 8197 in the cond prompt
     vocab_size: int = VOCAB
+    newline_id: int = LUMINA_NEWLINE_ID
+    image_end_id: int = IMAGE_END_ID
+    image_lo: int = IMAGE_TOKEN_START
+    image_hi: int = IMAGE_TOKEN_END
 
     def __call__(self, logits: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
         """logits [T, V] scoring the tokens at cond positions+1; constrain per
@@ -148,13 +153,14 @@ class LuminaGridFSM(NamedTuple):
         neg = jnp.finfo(jnp.float32).min
         n_gen = (positions + 1) - (self.image_start_idx + 1 + 2)     # [T]
         k = n_gen + 1
-        suppress = jnp.asarray(non_image_token_mask(self.vocab_size))
+        ids = np.arange(self.vocab_size)
+        suppress = jnp.asarray((ids < self.image_lo) | (ids > self.image_hi))
         inner = (k % (self.w + 1)) != 0
         logits = jnp.where(inner[:, None] & suppress[None, :], neg, logits)
         newline = (k % (self.w + 1)) == 0
-        nl_row = jnp.full((self.vocab_size,), neg).at[LUMINA_NEWLINE_ID].set(0.0)
+        nl_row = jnp.full((self.vocab_size,), neg).at[self.newline_id].set(0.0)
         logits = jnp.where(newline[:, None], nl_row[None, :], logits)
         eos = k == (self.w + 1) * self.h + 1
-        eos_row = jnp.full((self.vocab_size,), neg).at[IMAGE_END_ID].set(0.0)
+        eos_row = jnp.full((self.vocab_size,), neg).at[self.image_end_id].set(0.0)
         logits = jnp.where(eos[:, None], eos_row[None, :], logits)
         return logits

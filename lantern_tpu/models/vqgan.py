@@ -33,10 +33,23 @@ class VQGANConfig:
     z_channels: int = 256
     in_channels: int = 3
     out_channels: int = 3
+    # encoder levels (by index) that get attention blocks.  LlamaGen puts
+    # attention at the lowest resolution only; taming configs specify pixel
+    # resolutions (see ``chameleon_vq_config``).
+    attn_levels: Tuple[int, ...] = (-1,)
 
     @property
     def downsample_factor(self) -> int:
         return 2 ** (len(self.ch_mult) - 1)
+
+    def enc_attn(self, level: int) -> bool:
+        n = len(self.ch_mult)
+        return level in tuple(a % n for a in self.attn_levels)
+
+    def dec_attn(self, block_idx: int) -> bool:
+        """Decoder blocks run coarse->fine: block j corresponds to encoder
+        level n-1-j."""
+        return self.enc_attn(len(self.ch_mult) - 1 - block_idx)
 
 
 def vq16_config(**kw) -> VQGANConfig:
@@ -45,6 +58,28 @@ def vq16_config(**kw) -> VQGANConfig:
 
 def vq8_config(**kw) -> VQGANConfig:
     return VQGANConfig(ch_mult=(1, 2, 2, 4), **kw)
+
+
+def chameleon_vq_config(
+    resolution: int = 512,
+    attn_resolutions: Tuple[int, ...] = (32,),
+    ch_mult: Tuple[int, ...] = (1, 1, 2, 2, 4),
+    **kw,
+) -> VQGANConfig:
+    """Chameleon / Anole / Lumina VQ-GAN (chameleon_vae_ori/vqgan.py):
+    codebook 8192x256, un-normalized codes, attention at the taming config's
+    pixel resolutions."""
+    levels = []
+    curr = resolution
+    for i in range(len(ch_mult)):
+        if curr in attn_resolutions:
+            levels.append(i)
+        if i != len(ch_mult) - 1:
+            curr //= 2
+    kw.setdefault("codebook_size", 8192)
+    kw.setdefault("codebook_dim", 256)
+    kw.setdefault("l2_norm", False)
+    return VQGANConfig(ch_mult=tuple(ch_mult), attn_levels=tuple(levels), **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -152,7 +187,7 @@ def init_vqgan_params(rng: jax.Array, cfg: VQGANConfig) -> dict:
         for _ in range(cfg.num_res_blocks):
             blk["res"].append(_res_init(next(ks), cin, cout))
             cin = cout
-            if i == nr - 1:
+            if cfg.enc_attn(i):
                 blk["attn"].append(_attn_init(next(ks), cin))
         if i != nr - 1:
             blk["downsample"] = {"conv": _conv_init(next(ks), 3, 3, cin, cin)}
@@ -176,7 +211,7 @@ def init_vqgan_params(rng: jax.Array, cfg: VQGANConfig) -> dict:
         for _ in range(cfg.num_res_blocks + 1):
             blk["res"].append(_res_init(next(ks), cin, cout))
             cin = cout
-            if i == nr - 1:
+            if cfg.enc_attn(i):
                 blk["attn"].append(_attn_init(next(ks), cin))
         if i != 0:
             blk["upsample"] = {"conv": _conv_init(next(ks), 3, 3, cin, cin)}
@@ -311,7 +346,7 @@ def load_torch_state_dict(sd: dict, cfg: VQGANConfig) -> dict:
         for j in range(cfg.num_res_blocks):
             blk["res"].append(res(f"encoder.conv_blocks.{i}.res.{j}", cin, cout))
             cin = cout
-            if i == nr - 1:
+            if cfg.enc_attn(i):
                 blk["attn"].append(attn(f"encoder.conv_blocks.{i}.attn.{j}"))
         if i != nr - 1:
             blk["downsample"] = {"conv": conv(f"encoder.conv_blocks.{i}.downsample.conv")}
@@ -334,10 +369,95 @@ def load_torch_state_dict(sd: dict, cfg: VQGANConfig) -> dict:
         for j in range(cfg.num_res_blocks + 1):
             blk["res"].append(res(f"decoder.conv_blocks.{bidx}.res.{j}", cin, cout))
             cin = cout
-            if i == nr - 1:
+            if cfg.enc_attn(i):
                 blk["attn"].append(attn(f"decoder.conv_blocks.{bidx}.attn.{j}"))
         if i != 0:
             blk["upsample"] = {"conv": conv(f"decoder.conv_blocks.{bidx}.upsample.conv")}
+        blocks.append(blk)
+    dec["blocks"] = blocks
+    dec["norm_out"] = gn("decoder.norm_out")
+    dec["conv_out"] = conv("decoder.conv_out")
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": conv("quant_conv"),
+        "post_quant_conv": conv("post_quant_conv"),
+        "codebook": jnp.asarray(sd["quantize.embedding.weight"]),
+    }
+
+
+def load_taming_state_dict(sd: dict, cfg: VQGANConfig) -> dict:
+    """Map a taming-transformers VQModel state_dict (Chameleon/Anole/Lumina
+    tokenizer, chameleon_vae_ori/vqgan.py) to our NHWC param tree.
+
+    Name layout: ``encoder.down.{i}.block.{j}``, ``encoder.mid.block_1`` /
+    ``attn_1`` / ``block_2``, ``decoder.up.{i}...`` where decoder level i is
+    stored in *fine-to-coarse* index order (our decoder blocks run
+    coarse->fine, so block j maps to ``up.{n-1-j}``).
+    """
+    import numpy as _np
+
+    def conv(prefix):
+        return {
+            "w": jnp.asarray(_np.transpose(sd[prefix + ".weight"], (2, 3, 1, 0))),
+            "b": jnp.asarray(sd[prefix + ".bias"]),
+        }
+
+    def gn(prefix):
+        return {"scale": jnp.asarray(sd[prefix + ".weight"]),
+                "bias": jnp.asarray(sd[prefix + ".bias"])}
+
+    def res(prefix, cin, cout):
+        p = {"norm1": gn(prefix + ".norm1"), "conv1": conv(prefix + ".conv1"),
+             "norm2": gn(prefix + ".norm2"), "conv2": conv(prefix + ".conv2")}
+        if cin != cout:
+            p["nin_shortcut"] = conv(prefix + ".nin_shortcut")
+        return p
+
+    def attn(prefix):
+        return {"norm": gn(prefix + ".norm"), "q": conv(prefix + ".q"),
+                "k": conv(prefix + ".k"), "v": conv(prefix + ".v"),
+                "proj_out": conv(prefix + ".proj_out")}
+
+    nr = len(cfg.ch_mult)
+    in_mult = (1,) + tuple(cfg.ch_mult)
+
+    enc = {"conv_in": conv("encoder.conv_in")}
+    blocks = []
+    for i in range(nr):
+        cin, cout = cfg.ch * in_mult[i], cfg.ch * cfg.ch_mult[i]
+        blk = {"res": [], "attn": []}
+        for j in range(cfg.num_res_blocks):
+            blk["res"].append(res(f"encoder.down.{i}.block.{j}", cin, cout))
+            cin = cout
+            if cfg.enc_attn(i):
+                blk["attn"].append(attn(f"encoder.down.{i}.attn.{j}"))
+        if i != nr - 1:
+            blk["downsample"] = {"conv": conv(f"encoder.down.{i}.downsample.conv")}
+        blocks.append(blk)
+    enc["blocks"] = blocks
+    bi = cfg.ch * cfg.ch_mult[-1]
+    enc["mid"] = [res("encoder.mid.block_1", bi, bi), attn("encoder.mid.attn_1"),
+                  res("encoder.mid.block_2", bi, bi)]
+    enc["norm_out"] = gn("encoder.norm_out")
+    enc["conv_out"] = conv("encoder.conv_out")
+
+    dec = {"conv_in": conv("decoder.conv_in")}
+    dec["mid"] = [res("decoder.mid.block_1", bi, bi), attn("decoder.mid.attn_1"),
+                  res("decoder.mid.block_2", bi, bi)]
+    blocks = []
+    cin = bi
+    for i in reversed(range(nr)):
+        cout = cfg.ch * cfg.ch_mult[i]
+        blk = {"res": [], "attn": []}
+        for j in range(cfg.num_res_blocks + 1):
+            blk["res"].append(res(f"decoder.up.{i}.block.{j}", cin, cout))
+            cin = cout
+            if cfg.enc_attn(i):
+                blk["attn"].append(attn(f"decoder.up.{i}.attn.{j}"))
+        if i != 0:
+            blk["upsample"] = {"conv": conv(f"decoder.up.{i}.upsample.conv")}
         blocks.append(blk)
     dec["blocks"] = blocks
     dec["norm_out"] = gn("decoder.norm_out")
