@@ -1,0 +1,131 @@
+"""Batched speculative decoding: R concurrent requests in one program.
+
+Single-request decode is weight-streaming-bound (every verify step reads all
+base weights once); batching R requests amortizes that read R ways — the
+tokens/s/chip multiplier the reference gets from vLLM (SURVEY.md §2.7).
+
+Design:
+- The per-request speculative step (engine/spec.py) is ``jax.vmap``-ed over a
+  leading request axis: per-request KV caches, lengths, drafter state, PRNG
+  keys, and token buffers stack; parameters broadcast via closure.  CFG stays
+  the *inner* cond/uncond pair of each request.
+- The decode loop is host-driven (one jitted batched step per call) so the
+  scheduler can swap finished slots for freshly prefilled requests between
+  steps — continuous batching with fully static shapes.
+- Finished slots freeze: the step result is masked back to the old state, so
+  a slot's outputs stay stable until the scheduler drains it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import DrafterConfig, ModelConfig
+from ..models import transformer as tfm
+from ..trees import TreeSpec
+from . import spec as spec_engine
+from .spec import SpecDecodeConfig, SpecState, TokenPrompt, _Ctx
+
+
+@dataclasses.dataclass
+class BatchedEngine:
+    """R-slot continuous-batching speculative decoder (single chip or mesh)."""
+
+    ecfg: SpecDecodeConfig
+    cfg: ModelConfig
+    dcfg: DrafterConfig
+    tree: Optional[TreeSpec]
+    params: dict
+    dparams: dict
+    num_slots: int
+    logits_mask: Optional[jnp.ndarray] = None
+    logits_fn: object = None
+
+    def __post_init__(self):
+        ecfg, cfg, dcfg, tree = self.ecfg, self.cfg, self.dcfg, self.tree
+        params, dparams = self.params, self.dparams
+        rope = tfm.make_rope_tables(cfg)
+        drope = tfm.make_rope_tables(dcfg.model)
+        nearest = params.get("nearest_latents")
+        logits_mask, logits_fn = self.logits_mask, self.logits_fn
+
+        def one_step(state: SpecState, prefix_valid, pos_offsets):
+            ctx = _Ctx(params=params, dparams=dparams, rope=rope, drope=drope,
+                       nearest=nearest, prefix_valid=prefix_valid,
+                       pos_offsets=pos_offsets, logits_mask=logits_mask,
+                       logits_fn=logits_fn)
+            if ecfg.mode == "static":
+                f = spec_engine.make_static_step(ecfg, cfg, dcfg, tree, ctx)
+            else:
+                f = spec_engine.make_dynamic_step(ecfg, cfg, dcfg, ctx)
+            active = state.n_new < ecfg.max_new
+            new_state = f(state)
+            # freeze finished slots (scalar predicate broadcasts over leaves)
+            return jax.tree.map(
+                lambda a, b: jnp.where(active, b, a), state, new_state
+            )
+
+        self._batched_step = jax.jit(jax.vmap(one_step))
+        self._insert = jax.jit(self._insert_impl)
+
+    # ------------------------------------------------------------------
+    def prefill(self, cond, uncond, rng, token_prompt: Optional[TokenPrompt] = None,
+                prefix_valid=None):
+        """Prefill one request -> (SpecState, prefix_valid, pos_offsets)."""
+        return spec_engine.prefill_request(
+            self.params, self.dparams, self.ecfg, self.cfg, self.dcfg,
+            self.tree, cond, uncond, rng,
+            prefix_valid=prefix_valid, token_prompt=token_prompt,
+            logits_mask=self.logits_mask, logits_fn=self.logits_fn,
+        )
+
+    def empty_batch(self, proto):
+        """Replicate a prototype request R times, marked finished (n_new past
+        max) so steps are no-ops until slots are filled."""
+        state, pv, offs = proto
+        R = self.num_slots
+        bstate = jax.tree.map(lambda a: jnp.broadcast_to(a, (R,) + a.shape), state)
+        bstate = bstate._replace(n_new=jnp.full((R,), 1 << 30, jnp.int32))
+        return (
+            bstate,
+            jnp.broadcast_to(pv, (R,) + pv.shape),
+            jnp.broadcast_to(offs, (R,) + offs.shape),
+        )
+
+    @staticmethod
+    def _insert_impl(batch, slot, request):
+        bstate, bpv, boffs = batch
+        state, pv, offs = request
+
+        def put(b, s):
+            return jax.lax.dynamic_update_slice(
+                b, s[None].astype(b.dtype), (slot,) + (0,) * s.ndim
+            )
+
+        return (jax.tree.map(put, bstate, state), put(bpv, pv), put(boffs, offs))
+
+    def insert(self, batch, slot, request):
+        """Write a prefilled request into slot ``slot``."""
+        return self._insert(batch, jnp.asarray(slot, jnp.int32), request)
+
+    def step(self, batch):
+        bstate, bpv, boffs = batch
+        return (self._batched_step(bstate, bpv, boffs), bpv, boffs)
+
+    # -- host-side convenience ------------------------------------------
+    def slot_status(self, batch):
+        """(n_new, steps, accept_sum) per slot as numpy."""
+        import numpy as np
+
+        bstate = batch[0]
+        return (np.asarray(bstate.n_new), np.asarray(bstate.steps),
+                np.asarray(bstate.accept_sum))
+
+    def slot_tokens(self, batch, slot):
+        import numpy as np
+
+        return np.asarray(batch[0].tokens[slot][: self.ecfg.max_new])

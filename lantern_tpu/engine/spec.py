@@ -300,30 +300,24 @@ def make_dynamic_step(
     return step
 
 
-@partial(jax.jit, static_argnames=("ecfg", "cfg", "dcfg", "spec", "max_steps", "logits_fn"))
-def generate(
+def prefill_request(
     params: dict,
     dparams: dict,
     ecfg: SpecDecodeConfig,
     cfg: ModelConfig,
     dcfg: DrafterConfig,
     spec: Optional[TreeSpec],
-    cond,                           # [1] labels or [1, Tc, Dc] caption feats
+    cond,
     uncond,
     rng: jax.Array,
-    max_steps: int = 0,
     prefix_valid: Optional[jnp.ndarray] = None,
     token_prompt: Optional[TokenPrompt] = None,
     logits_mask: Optional[jnp.ndarray] = None,
     logits_fn=None,
-) -> SpecResult:
-    """Full speculative generation for one request.  ``spec`` is required in
-    static mode and ignored in dynamic mode.
-
-    Two conditioning styles: embedding prefixes (LlamaGen labels/captions;
-    pass ``cond``/``uncond``) or token prompts (Chameleon families; pass
-    ``token_prompt``, with cond/uncond ignored).
-    """
+):
+    """Prefill one request: base+drafter prefixes, first token, first draft
+    tree.  Returns ``(SpecState, prefix_valid [2, S] bool, pos_offsets [2])``
+    — the per-request leaves a batched engine stacks over slots."""
     rope = tfm.make_rope_tables(cfg)
     drope = tfm.make_rope_tables(dcfg.model)
     nearest = params.get("nearest_latents")
@@ -331,15 +325,19 @@ def generate(
         raise ValueError("lantern enabled but params lack 'nearest_latents'")
 
     pad = (spec.path_len if ecfg.mode == "static" else dcfg.depth + 2) + 1
-    max_steps = max_steps or ecfg.max_new
     base_kv = KVCache.create(cfg, 2)
     dk = KVCache.create(dcfg.model, 2)
+    S = base_kv.max_len
+    offs = jnp.zeros((2,), jnp.int32)
 
     if token_prompt is None:
         Tc = cfg.cls_token_num
+        if prefix_valid is None:
+            prefix_valid = jnp.ones((2, S), bool)
         ctx = _Ctx(params=params, dparams=dparams, rope=rope, drope=drope,
                    nearest=nearest, prefix_valid=prefix_valid,
-                   logits_mask=logits_mask, logits_fn=logits_fn)
+                   pos_offsets=offs, logits_mask=logits_mask,
+                   logits_fn=logits_fn)
         # ---- base prefill (cond/uncond embedding pair) ----
         cond_pair = jnp.concatenate([cond, uncond], axis=0)
         embeds = tfm.cond_embed(ctx.params, cfg, cond_pair)
@@ -364,7 +362,6 @@ def generate(
     else:
         tp = token_prompt
         L = tp.tokens.shape[1]
-        S = base_kv.max_len
         pv = jnp.ones((2, S), bool)
         pv = jax.lax.dynamic_update_slice(pv, tp.valid.astype(bool), (0, 0))
         prefix_valid = pv
@@ -409,7 +406,6 @@ def generate(
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
             logits_fn=ctx.logits_fn,
         )
-        step = make_static_step(ecfg, cfg, dcfg, spec, ctx)
     else:
         draft, draft_kv = drf.draft_dynamic(
             ctx.dparams, dcfg, drope, dk, root_hidden, t0,
@@ -417,7 +413,6 @@ def generate(
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
             logits_fn=ctx.logits_fn,
         )
-        step = make_dynamic_step(ecfg, cfg, dcfg, ctx)
 
     state = SpecState(
         base_kv=base_kv,
@@ -430,6 +425,49 @@ def generate(
         accept_sum=jnp.zeros((), jnp.int32),
         rng=rng,
     )
+    return state, prefix_valid, offs
+
+
+@partial(jax.jit, static_argnames=("ecfg", "cfg", "dcfg", "spec", "max_steps", "logits_fn"))
+def generate(
+    params: dict,
+    dparams: dict,
+    ecfg: SpecDecodeConfig,
+    cfg: ModelConfig,
+    dcfg: DrafterConfig,
+    spec: Optional[TreeSpec],
+    cond,                           # [1] labels or [1, Tc, Dc] caption feats
+    uncond,
+    rng: jax.Array,
+    max_steps: int = 0,
+    prefix_valid: Optional[jnp.ndarray] = None,
+    token_prompt: Optional[TokenPrompt] = None,
+    logits_mask: Optional[jnp.ndarray] = None,
+    logits_fn=None,
+) -> SpecResult:
+    """Full speculative generation for one request.  ``spec`` is required in
+    static mode and ignored in dynamic mode.
+
+    Two conditioning styles: embedding prefixes (LlamaGen labels/captions;
+    pass ``cond``/``uncond``) or token prompts (Chameleon families; pass
+    ``token_prompt``, with cond/uncond ignored).
+    """
+    max_steps = max_steps or ecfg.max_new
+    state, prefix_valid, offs = prefill_request(
+        params, dparams, ecfg, cfg, dcfg, spec, cond, uncond, rng,
+        prefix_valid=prefix_valid, token_prompt=token_prompt,
+        logits_mask=logits_mask, logits_fn=logits_fn,
+    )
+    ctx = _Ctx(params=params, dparams=dparams,
+               rope=tfm.make_rope_tables(cfg),
+               drope=tfm.make_rope_tables(dcfg.model),
+               nearest=params.get("nearest_latents"),
+               prefix_valid=prefix_valid, pos_offsets=offs,
+               logits_mask=logits_mask, logits_fn=logits_fn)
+    if ecfg.mode == "static":
+        step = make_static_step(ecfg, cfg, dcfg, spec, ctx)
+    else:
+        step = make_dynamic_step(ecfg, cfg, dcfg, ctx)
 
     def cond_fn(s: SpecState):
         return (s.n_new < ecfg.max_new) & (s.steps < max_steps)
