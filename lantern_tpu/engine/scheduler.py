@@ -44,24 +44,80 @@ class Request:
 
 
 class Scheduler:
-    def __init__(self, engine: BatchedEngine):
+    """Drives a BatchedEngine over a request list.  Slot assignment and
+    request lifecycle bookkeeping run in the native C++ runtime when built
+    (lantern_tpu/native.py); otherwise a pure-Python fallback."""
+
+    def __init__(self, engine: BatchedEngine, use_native: Optional[bool] = None):
         self.engine = engine
+        if use_native is None:
+            from .. import native
+
+            use_native = native.available()
+        self.use_native = use_native
 
     def run(self, requests: List[Request], progress: bool = False) -> List[Request]:
+        if self.use_native:
+            return self._run_native(requests, progress)
+        return self._run_python(requests, progress)
+
+    # ------------------------------------------------------------------
+    def _prefill(self, req: Request):
+        req._t0 = time.perf_counter()
+        return self.engine.prefill(
+            req.cond, req.uncond, jax.random.key(req.seed),
+            token_prompt=req.token_prompt,
+        )
+
+    def _run_native(self, requests: List[Request], progress: bool) -> List[Request]:
+        from ..native import NativeScheduler
+
+        eng = self.engine
+        by_uid = {}
+        sched = NativeScheduler(eng.num_slots)
+        for i, req in enumerate(requests):
+            uid = i + 1
+            by_uid[uid] = req
+            sched.enqueue(uid, prompt_len=0, max_new=eng.ecfg.max_new)
+
+        batch = None
+        slot_uid = [0] * eng.num_slots
+        done: List[Request] = []
+        while sched.num_active or sched.num_waiting:
+            for slot, uid in sched.fill_slots():
+                pre = self._prefill(by_uid[uid])
+                if batch is None:
+                    batch = eng.empty_batch(pre)
+                batch = eng.insert(batch, slot, pre)
+                slot_uid[slot] = uid
+            batch = eng.step(batch)
+            n_new, steps, acc = eng.slot_status(batch)
+            # capture finished slots' tokens before the queue refills them
+            before = {s: slot_uid[s] for s in range(eng.num_slots)}
+            newly = sched.report_step(n_new, steps, acc)
+            if newly:
+                for uid, st, ac in sched.drain():
+                    req = by_uid[uid]
+                    slot = next(s for s, u in before.items() if u == uid)
+                    req.tokens = eng.slot_tokens(batch, slot)
+                    req.steps = int(st)
+                    req.accept_sum = int(ac)
+                    req.latency = time.perf_counter() - req._t0
+                    done.append(req)
+                    if progress:
+                        print(f"request {req.uid}: steps={req.steps} "
+                              f"compression={req.step_compression:.3f}")
+        done.sort(key=lambda r: requests.index(r))
+        return done
+
+    def _run_python(self, requests: List[Request], progress: bool) -> List[Request]:
         eng = self.engine
         queue = deque(requests)
         done: List[Request] = []
         slots: List[Optional[Request]] = [None] * eng.num_slots
 
-        def prefill(req: Request):
-            req._t0 = time.perf_counter()
-            return eng.prefill(
-                req.cond, req.uncond, jax.random.key(req.seed),
-                token_prompt=req.token_prompt,
-            )
-
         first = queue.popleft()
-        proto = prefill(first)
+        proto = self._prefill(first)
         batch = eng.empty_batch(proto)
         batch = eng.insert(batch, 0, proto)
         slots[0] = first
@@ -69,7 +125,7 @@ class Scheduler:
             if not queue:
                 break
             req = queue.popleft()
-            batch = eng.insert(batch, s, prefill(req))
+            batch = eng.insert(batch, s, self._prefill(req))
             slots[s] = req
 
         while any(r is not None for r in slots):
@@ -89,7 +145,7 @@ class Scheduler:
                               f"compression={req.step_compression:.3f}")
                     if queue:
                         nxt = queue.popleft()
-                        batch = eng.insert(batch, s, prefill(nxt))
+                        batch = eng.insert(batch, s, self._prefill(nxt))
                         slots[s] = nxt
                     else:
                         slots[s] = None

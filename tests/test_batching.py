@@ -42,7 +42,12 @@ def single(cfg, dcfg, params, dparams, ecfg, tree, label, seed):
     return np.asarray(res.tokens), int(res.steps)
 
 
-def test_batched_matches_single(setup):
+@pytest.mark.parametrize("use_native", [False, True])
+def test_batched_matches_single(setup, use_native):
+    from lantern_tpu import native
+
+    if use_native and not native.available():
+        pytest.skip("native scheduler not built")
     cfg, dcfg, params, dparams, ecfg, tree = setup
     labels = [1, 4, 7, 2, 9]
 
@@ -60,7 +65,7 @@ def test_batched_matches_single(setup):
                 uncond=jnp.asarray([cfg.num_classes]), seed=100 + i)
         for i, lab in enumerate(labels)
     ]
-    done = Scheduler(eng).run(reqs)
+    done = Scheduler(eng, use_native=use_native).run(reqs)
 
     assert len(done) == len(labels)
     for req in done:
