@@ -298,3 +298,79 @@ def forward(
         hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
     kv = kv.write(k_new, v_new, advance=commit, offset=write_offset)
     return ForwardResult(hidden=hidden, kv=kv)
+
+
+def forward_train(
+    params: dict,
+    cfg: ModelConfig,
+    embeds: jnp.ndarray,          # [B, T, H]
+    positions: jnp.ndarray,       # [T] or [B, T]
+    rope,
+    attn_valid: Optional[jnp.ndarray] = None,   # [B, T] padding mask
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Cache-free causal forward for training (full-model finetuning /
+    teacher-forced distillation).  Rematerializes each layer under grad
+    (``jax.checkpoint``) to trade FLOPs for HBM, the TPU analog of the
+    reference's FSDP gradient-checkpointing wrap policy
+    (xllmx/solvers/finetune/finetune.py:375-417)."""
+    B, T, H = embeds.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    cos, sin = rope
+    if positions.ndim == 1:
+        positions = positions[None, :]
+    positions = jnp.clip(positions, 0, cos.shape[0] - 1)
+
+    causal = jnp.tril(jnp.ones((T, T), bool))[None]
+    if attn_valid is not None:
+        causal = causal & attn_valid[:, None, :].astype(bool)
+    mask = jnp.where(causal, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+
+    apply_rope = (
+        apply_rope_interleaved if cfg.rope_pairing == "interleaved" else apply_rope_half
+    )
+    scale = hd ** -0.5
+
+    def layer(h, xs):
+        idx, w = xs
+        if cfg.swin_norm:
+            x = h
+        else:
+            x = rms_norm(h, w["attn_norm"], cfg.rms_norm_eps)
+            if cfg.first_layer_no_input_norm:
+                x = jnp.where(idx == 0, h, x)
+        q = (x @ w["wq"]).reshape(B, T, nh, hd)
+        k = (x @ w["wk"]).reshape(B, T, nkv, hd)
+        v = (x @ w["wv"]).reshape(B, T, nkv, hd)
+        if cfg.qk_norm:
+            q = head_layer_norm(q, w["q_norm_w"], w["q_norm_b"], cfg.norm_eps)
+            k = head_layer_norm(k, w["k_norm_w"], w["k_norm_b"], cfg.norm_eps)
+        q = apply_rope(q, cos, sin, positions)
+        k = apply_rope(k, cos, sin, positions)
+        if nkv != nh:
+            rep = nh // nkv
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        s = jnp.einsum("btnh,bunh->bntu", q, k,
+                       preferred_element_type=jnp.float32) * scale + mask
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bntu,bunh->btnh", p, v.astype(jnp.float32))
+        attn_out = (o.astype(h.dtype).reshape(B, T, nh * hd)) @ w["wo"]
+        if cfg.swin_norm:
+            h1 = h + rms_norm(attn_out, w["attn_norm"], cfg.rms_norm_eps)
+            mlp_in = h1
+        else:
+            h1 = h + attn_out
+            mlp_in = rms_norm(h1, w["ffn_norm"], cfg.rms_norm_eps)
+        mlp = (jax.nn.silu(mlp_in @ w["w_gate"]) * (mlp_in @ w["w_up"])) @ w["w_down"]
+        if cfg.swin_norm:
+            mlp = rms_norm(mlp, w["ffn_norm"], cfg.rms_norm_eps)
+        return h1 + mlp, None
+
+    body = jax.checkpoint(layer) if remat else layer
+    hidden, _ = jax.lax.scan(
+        body, embeds, (jnp.arange(cfg.num_layers), params["layers"])
+    )
+    if cfg.final_norm:
+        hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
+    return hidden
