@@ -56,8 +56,13 @@ def main():
     dcfg = configs.drafter_config(cfg, total_tokens=59, depth=4, top_k=10)
     tree = trees.get_tree("naive_extend_57")
 
-    params = tfm.init_params(jax.random.key(0), cfg)
-    dparams = drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
+    # init on host CPU then transfer: remote-compiling a dozen RNG kernels
+    # over the TPU tunnel costs minutes; host init costs seconds
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        params = tfm.init_params(jax.random.key(0), cfg)
+        dparams = drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
     # align the drafter with the base embedding (identity fc, zeroed layers):
     # an untrained-but-not-adversarial drafter
     H = cfg.hidden_size
@@ -67,8 +72,11 @@ def main():
     dparams["layers"] = jax.tree.map(lambda a: a * 0, dparams["layers"])
 
     # VQ nearest-latent table from a random codebook (LANTERN relaxed accept)
-    cb = jax.random.normal(jax.random.key(3), (cfg.vocab_size, 8))
-    params["nearest_latents"] = jnp.asarray(nearest_latents(cb, k=LK + 1))
+    with jax.default_device(cpu):
+        cb = jax.random.normal(jax.random.key(3), (cfg.vocab_size, 8))
+        params["nearest_latents"] = jnp.asarray(nearest_latents(cb, k=LK + 1))
+    params = jax.device_put(params, tpu)
+    dparams = jax.device_put(dparams, tpu)
 
     cond = jax.random.normal(jax.random.key(2), (1, cfg.cls_token_num, cfg.caption_dim))
     uncond = params["cond"]["uncond"][None].astype(cond.dtype)

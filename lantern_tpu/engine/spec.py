@@ -341,9 +341,13 @@ def prefill_request(
         # ---- base prefill (cond/uncond embedding pair) ----
         cond_pair = jnp.concatenate([cond, uncond], axis=0)
         embeds = tfm.cond_embed(ctx.params, cfg, cond_pair)
+        # caption padding must mask the prefill block itself, not only later
+        # reads of the cached prefix
+        block0 = jnp.tril(jnp.ones((Tc, Tc), bool))[None] & \
+            prefix_valid[:, None, :Tc]
         res = tfm.forward(
             ctx.params, cfg, embeds, base_kv, jnp.arange(Tc), rope,
-            prefix_valid=prefix_valid,
+            block_mask=block0,
         )
         base_kv = res.kv
         logits0 = cfg_combine(tfm.logits_head(ctx.params, res.hidden[:, -1:]), ecfg.cfg_scale)
