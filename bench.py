@@ -63,13 +63,29 @@ def main():
     with jax.default_device(cpu):
         params = tfm.init_params(jax.random.key(0), cfg)
         dparams = drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
-    # align the drafter with the base embedding (identity fc, zeroed layers):
-    # an untrained-but-not-adversarial drafter
-    H = cfg.hidden_size
-    fc = np.zeros((2 * H, H), np.float32)
-    fc[:H] = np.eye(H)
-    dparams["fc_w"] = jnp.asarray(fc, dtype=cfg.jnp_dtype)
-    dparams["layers"] = jax.tree.map(lambda a: a * 0, dparams["layers"])
+    # prefer a self-distilled drafter (scripts/prepare_bench_drafter.py);
+    # fall back to an embedding-aligned untrained one
+    drafter_ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"ckpts/bench_drafter_{size}.npz",
+    )
+    trained = os.path.exists(drafter_ckpt)
+    if trained:
+        z = np.load(drafter_ckpt)
+        dt_ = cfg.jnp_dtype
+        dparams["fc_w"] = jnp.asarray(z["fc_w"], dt_)
+        dparams["fc_b"] = jnp.asarray(z["fc_b"], dt_)
+        dparams["layers"] = {
+            k[len("layers."):]: jnp.asarray(z[k], dt_)
+            for k in z.files if k.startswith("layers.")
+        }
+        note(f"loaded trained drafter {drafter_ckpt}")
+    else:
+        H = cfg.hidden_size
+        fc = np.zeros((2 * H, H), np.float32)
+        fc[:H] = np.eye(H)
+        dparams["fc_w"] = jnp.asarray(fc, dtype=cfg.jnp_dtype)
+        dparams["layers"] = jax.tree.map(lambda a: a * 0, dparams["layers"])
 
     # VQ nearest-latent table from a random codebook (LANTERN relaxed accept)
     with jax.default_device(cpu):
@@ -125,7 +141,7 @@ def main():
         "metric": (
             f"image_tokens_per_s_per_chip (LlamaGen-{size} t2i 256tok, "
             f"EAGLE-1 static tree + LANTERN k={LK} d={LD}, sampling, "
-            f"untrained drafter)"
+            + ("self-distilled drafter)" if trained else "untrained drafter)")
         ),
         "value": round(toks_per_s, 2),
         "unit": "tokens/s",

@@ -8,6 +8,7 @@ per step with CFG-combined sampling.  The whole loop runs on device as a
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -24,6 +25,7 @@ class ARResult(NamedTuple):
     kv: KVCache
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_new", "cfg_scale", "warp"))
 def generate(
     params: dict,
     cfg: ModelConfig,

@@ -36,7 +36,10 @@ def main():
     from entrypoints_tpu import generate_train_data
     generate_train_data.add_args(sub.add_parser("generate_train_data"))
 
-    for name in ("extract_code", "eval_fid_clip", "eval_prec_recall", "eval_hpsv2"):
+    from entrypoints_tpu import extract_code
+    extract_code.add_args(sub.add_parser("extract_code"))
+
+    for name in ("eval_fid_clip", "eval_prec_recall", "eval_hpsv2"):
         sub.add_parser(name)
 
     args, extra = parser.parse_known_args()
@@ -53,7 +56,9 @@ def main():
         return train_drafter.run(args)
     if args.task == "generate_train_data":
         return generate_train_data.run(args)
-    if args.task in ("extract_code", "eval_fid_clip", "eval_prec_recall", "eval_hpsv2"):
+    if args.task == "extract_code":
+        return extract_code.run(args)
+    if args.task in ("eval_fid_clip", "eval_prec_recall", "eval_hpsv2"):
         from entrypoints_tpu import evals
 
         return evals.run(args.task, extra)

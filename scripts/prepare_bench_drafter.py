@@ -1,0 +1,157 @@
+"""Self-distill a drafter for the benchmark model.
+
+The zero-egress environment has no published LANTERN checkpoints, so the
+bench base model is random-init (deterministic from seed 0).  This script
+runs the framework's own drafter lifecycle against that base — generate
+self-distillation traces, train the 1-layer EAGLE drafter — and saves the
+drafter params (without the shared embedding, which is reconstructed from
+the base seed) to ``ckpts/bench_drafter_{size}/``.  bench.py loads it when
+present, so reported step compression reflects a *trained* drafter.
+
+Usage:  python scripts/prepare_bench_drafter.py [--size B] [--samples 256]
+        [--epochs 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default=os.environ.get("BENCH_SIZE", "XL"))
+    ap.add_argument("--samples", type=int, default=192)
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--bs", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--image-tokens", type=int, default=256)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lantern_tpu import configs
+    from lantern_tpu.engine import ar
+    from lantern_tpu.kv import KVCache
+    from lantern_tpu.models import drafter as drf
+    from lantern_tpu.models import transformer as tfm
+    from lantern_tpu.ops.sampling import LogitsWarp
+    from lantern_tpu.train import drafter_train as dt
+    from lantern_tpu.utils import checkpoint as ckpt
+
+    t0 = time.time()
+
+    def note(m):
+        print(f"[prep +{time.time() - t0:6.1f}s] {m}", flush=True)
+
+    cfg = configs.llamagen_config(args.size, "t2i", image_tokens=args.image_tokens)
+    dcfg = configs.drafter_config(cfg, total_tokens=59, depth=4, top_k=10)
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        params = tfm.init_params(jax.random.key(0), cfg)   # = bench base model
+        dparams = drf.init_drafter_params(jax.random.key(101), dcfg, params["embed"])
+    params = jax.device_put(params, tpu)
+    dparams = jax.device_put(dparams, tpu)
+    rope = tfm.make_rope_tables(cfg)
+    drope = tfm.make_rope_tables(dcfg.model)
+    Tc = cfg.cls_token_num
+    T_img = args.image_tokens
+    warp = LogitsWarp(temperature=1.0, top_k=2000, top_p=1.0)
+    note(f"base {args.size} ready")
+
+    # ---- phase 1: self-distillation traces ---------------------------------
+    # Sample sequences from the base (AR, CFG off for diversity) and record
+    # teacher-forced hidden states: one forward gives both tokens' hidden and
+    # the drafter targets.
+    @jax.jit
+    def sample_tokens(cond, uncond, rng):
+        res = ar.generate(params, cfg, cond, uncond, T_img, 1.5, warp, rng)
+        return res.tokens
+
+    @jax.jit
+    def teacher(cond, tokens):
+        embeds = jnp.concatenate(
+            [tfm.cond_embed(params, cfg, cond),
+             tfm.token_embed(params, tokens)], axis=1,
+        )
+        T = embeds.shape[1]
+        kv = KVCache.create(cfg, 1, max_len=T)
+        return tfm.forward(params, cfg, embeds, kv, jnp.arange(T), rope).hidden
+
+    batches = []
+    H = cfg.hidden_size
+    max_len = Tc - 1 + T_img
+    for i in range(args.samples):
+        key = jax.random.key(1000 + i)
+        cond = jax.random.normal(jax.random.fold_in(key, 0),
+                                 (1, Tc, cfg.caption_dim))
+        uncond = params["cond"]["uncond"][None].astype(cond.dtype)
+        toks = sample_tokens(cond, uncond, jax.random.fold_in(key, 1))
+        hid = teacher(cond, toks[None])[0]                  # [Tc+T, H]
+        # drafter stream: (token_{i+1}, hidden_i)
+        dr_tokens = np.zeros((max_len,), np.int32)
+        dr_tokens[Tc - 1: Tc - 1 + T_img] = np.asarray(toks)
+        hidden = np.asarray(hid[:max_len], np.float32)
+        target = np.asarray(hid[1: max_len + 1], np.float32)
+        loss_mask = np.zeros((max_len,), np.float32)
+        loss_mask[Tc - 1: Tc - 2 + T_img] = 1.0
+        batches.append((dr_tokens, hidden, target, loss_mask))
+        if (i + 1) % 32 == 0:
+            note(f"traces {i + 1}/{args.samples}")
+
+    # ---- phase 2: drafter training -----------------------------------------
+    steps_per_epoch = max(len(batches) // args.bs, 1)
+    tcfg = dt.TrainConfig(
+        lr=args.lr, p_w=0.1, noise="uniform", noise_std=0.1,
+        warmup_steps=max(2, steps_per_epoch // 2),
+        total_steps=steps_per_epoch * args.epochs,
+    )
+    state = dt.init_train_state(dparams, tcfg)
+    head = params["lm_head"]
+    rng = np.random.default_rng(0)
+    key = jax.random.key(7)
+    order = np.arange(len(batches))
+    for ep in range(args.epochs):
+        rng.shuffle(order)
+        agg = None
+        for s in range(steps_per_epoch):
+            idx = order[s * args.bs: (s + 1) * args.bs]
+            b = {
+                "tokens": jnp.asarray(np.stack([batches[j][0] for j in idx])),
+                "hidden": jnp.asarray(np.stack([batches[j][1] for j in idx])),
+                "target": jnp.asarray(np.stack([batches[j][2] for j in idx])),
+                "loss_mask": jnp.asarray(np.stack([batches[j][3] for j in idx])),
+                "attn_valid": jnp.ones((len(idx), max_len), jnp.float32),
+            }
+            key, k = jax.random.split(key)
+            state, m = dt.train_step(state, dcfg, tcfg, drope, head, b, k)
+            mnp = {k2: np.asarray(v) for k2, v in m._asdict().items()}
+            agg = mnp if agg is None else {k2: agg[k2] + mnp[k2] for k2 in mnp}
+        n = float(max(agg["total"], 1))
+        note(f"epoch {ep}: loss={float(agg['loss']) / steps_per_epoch:.4f} "
+             f"top1={float(agg['top_acc'][0]) / n:.3f} "
+             f"top3={float(agg['top_acc'][2]) / n:.3f}")
+
+    out = args.out or f"ckpts/bench_drafter_{args.size}"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    save = {k: v for k, v in state.dparams.items() if k != "embed"}
+    save = jax.tree.map(lambda a: np.asarray(a, np.float16), save)
+    np.savez_compressed(out + ".npz", **{
+        f"layers.{k}": v for k, v in save["layers"].items()
+    }, fc_w=save["fc_w"], fc_b=save["fc_b"])
+    note(f"saved {out}.npz")
+
+
+if __name__ == "__main__":
+    main()

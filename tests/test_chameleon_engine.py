@@ -103,3 +103,19 @@ def test_nearest_table_shift():
     np.testing.assert_array_equal(out[4], t[0] + 4)
     np.testing.assert_array_equal(out[7], t[3] + 4)
     assert (out[0] == 0).all() and (out[8:] == 0).all()
+
+
+def test_vocab_map_tables():
+    """IMGIMG-name translation matches the reference mapping semantics
+    (modeling_anole_kv.py:1110-1152): IMGIMG<letters>Z -> digits by A=0..J=9."""
+    vocab_map = {
+        "<image>": 1,
+        "IMGIMGBAZ": 14,   # "BA" -> "10" -> code 10
+        "IMGIMGAAZ": 12,   # "AA" -> "00" -> code 0
+        "IMGIMGACZ": 13,   # "AC" -> "02" -> code 2
+        "text_tok": 5,
+    }
+    img2bpe, bpe2img = cham.vocab_map_tables(vocab_map)
+    assert img2bpe[10] == 14 and img2bpe[0] == 12 and img2bpe[2] == 13
+    assert bpe2img[14] == 10 and bpe2img[12] == 0 and bpe2img[13] == 2
+    assert bpe2img[5] == -1
