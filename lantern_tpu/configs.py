@@ -54,6 +54,12 @@ class ModelConfig:
     first_layer_no_input_norm: bool = False  # drafter layer 0 skips input norm
     final_norm: bool = True                  # drafter has no final RMSNorm
 
+    # attention implementation: Pallas flash tree-attention streams only the
+    # live KV prefix from HBM (ops/pallas/tree_attention.py); dense attends
+    # over the whole static cache with masks.  The drafter's multi-block
+    # provisional masks always use the dense path.
+    use_flash_attention: bool = False
+
     # budget
     max_seq_len: int = 2048
 
@@ -179,6 +185,8 @@ def tiny_config(
         "none": dict(),
     }[cond_kind]
     pairing = "interleaved" if rope_kind == "2d" else "half"
+    kw.setdefault("max_seq_len", 96)
+    kw.setdefault("dtype", "float32")
     return ModelConfig(
         vocab_size=vocab_size,
         hidden_size=hidden_size,
@@ -191,8 +199,6 @@ def tiny_config(
         block_size=block_size if rope_kind == "2d" else 0,
         cond_kind=cond_kind,
         qk_norm=qk_norm,
-        max_seq_len=96,
-        dtype="float32",
         **cond,
         **kw,
     )

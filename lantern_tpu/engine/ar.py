@@ -47,6 +47,11 @@ def generate(
     cond_pair = jnp.concatenate([cond, uncond], axis=0)
     embeds = tfm.cond_embed(params, cfg, cond_pair)
     kv = KVCache.create(cfg, 2)
+    if prefix_valid is not None and prefix_valid.shape[-1] != kv.max_len:
+        prefix_valid = jnp.pad(
+            prefix_valid, ((0, 0), (0, kv.max_len - prefix_valid.shape[-1])),
+            constant_values=True,
+        )
 
     res = tfm.forward(
         params, cfg, embeds, kv, jnp.arange(Tc), rope,

@@ -328,6 +328,12 @@ def prefill_request(
     base_kv = KVCache.create(cfg, 2)
     dk = KVCache.create(dcfg.model, 2)
     S = base_kv.max_len
+    if prefix_valid is not None and prefix_valid.shape[-1] != S:
+        # KV buffers round up to the flash-kernel block size; pad the mask
+        prefix_valid = jnp.pad(
+            prefix_valid, ((0, 0), (0, S - prefix_valid.shape[-1])),
+            constant_values=True,
+        )
     offs = jnp.zeros((2,), jnp.int32)
 
     if token_prompt is None:

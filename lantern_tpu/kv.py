@@ -48,6 +48,7 @@ class KVCache:
     @staticmethod
     def create(cfg: ModelConfig, batch: int, max_len: int | None = None, dtype=None) -> "KVCache":
         S = max_len or cfg.max_seq_len
+        S = -(-S // 128) * 128     # pad to the flash kernel's block granularity
         dt = dtype or cfg.jnp_dtype
         shape = (cfg.num_layers, batch, S, cfg.num_kv_heads, cfg.head_dim)
         return KVCache(

@@ -227,9 +227,30 @@ def forward(
     # blocks may run past the end near the image boundary
     positions = jnp.clip(positions, 0, cos.shape[0] - 1)
 
-    mask_prefix, mask_block = build_mask(
-        T, S, kv.length, block_mask, prefix_valid, B, prefix_override
+    # flash only on real TPU: interpret-mode pallas inside lax.scan trips an
+    # MLIR lowering-cache bug in this jax version; kernel semantics are
+    # covered by standalone interpret tests
+    use_flash = (
+        cfg.use_flash_attention and prefix_override is None and nkv == nh
+        and S % 128 == 0 and jax.default_backend() == "tpu"
     )
+    if use_flash:
+        from ..ops.pallas.tree_attention import tree_attention
+
+        bm_raw = (jnp.tril(jnp.ones((T, T), bool)) if block_mask is None
+                  else block_mask.astype(bool))
+        if bm_raw.ndim == 2:
+            bm_raw = jnp.broadcast_to(bm_raw[None], (B, T, T))
+        if prefix_valid is None:
+            p_bias = jnp.zeros((B, S), jnp.float32)
+        else:
+            pv = jnp.broadcast_to(prefix_valid.astype(bool), (B, S))
+            p_bias = jnp.where(pv, 0.0, NEG_INF).astype(jnp.float32)
+        mask_prefix = mask_block = None
+    else:
+        mask_prefix, mask_block = build_mask(
+            T, S, kv.length, block_mask, prefix_valid, B, prefix_override
+        )
     apply_rope = (
         apply_rope_interleaved if cfg.rope_pairing == "interleaved" else apply_rope_half
     )
@@ -257,27 +278,33 @@ def forward(
         q = apply_rope(q, cos, sin, positions)
         k = apply_rope(k, cos, sin, positions)
 
-        if nkv != nh:
-            rep = nh // nkv
-            k_cache_h = jnp.repeat(k_cache, rep, axis=2)
-            v_cache_h = jnp.repeat(v_cache, rep, axis=2)
-            k_h = jnp.repeat(k, rep, axis=2)
-            v_h = jnp.repeat(v, rep, axis=2)
+        if use_flash:
+            o = tree_attention(
+                q, k, v, k_cache, v_cache, kv.length, bm_raw, p_bias, scale,
+            ).astype(h.dtype)
         else:
-            k_cache_h, v_cache_h, k_h, v_h = k_cache, v_cache, k, v
+            if nkv != nh:
+                rep = nh // nkv
+                k_cache_h = jnp.repeat(k_cache, rep, axis=2)
+                v_cache_h = jnp.repeat(v_cache, rep, axis=2)
+                k_h = jnp.repeat(k, rep, axis=2)
+                v_h = jnp.repeat(v, rep, axis=2)
+            else:
+                k_cache_h, v_cache_h, k_h, v_h = k_cache, v_cache, k, v
 
-        s_pre = jnp.einsum(
-            "btnh,bsnh->bnts", q, k_cache_h, preferred_element_type=jnp.float32
-        ) * scale + mask_prefix
-        s_blk = jnp.einsum(
-            "btnh,bunh->bntu", q, k_h, preferred_element_type=jnp.float32
-        ) * scale + mask_block
-        s = jnp.concatenate([s_pre, s_blk], axis=-1)
-        p = jax.nn.softmax(s, axis=-1)
-        p_pre, p_blk = p[..., :S], p[..., S:]
-        o = jnp.einsum("bnts,bsnh->btnh", p_pre, v_cache_h.astype(jnp.float32))
-        o = o + jnp.einsum("bntu,bunh->btnh", p_blk, v_h.astype(jnp.float32))
-        attn_out = (o.astype(h.dtype).reshape(B, T, nh * hd)) @ w["wo"]
+            s_pre = jnp.einsum(
+                "btnh,bsnh->bnts", q, k_cache_h, preferred_element_type=jnp.float32
+            ) * scale + mask_prefix
+            s_blk = jnp.einsum(
+                "btnh,bunh->bntu", q, k_h, preferred_element_type=jnp.float32
+            ) * scale + mask_block
+            s = jnp.concatenate([s_pre, s_blk], axis=-1)
+            p = jax.nn.softmax(s, axis=-1)
+            p_pre, p_blk = p[..., :S], p[..., S:]
+            o = jnp.einsum("bnts,bsnh->btnh", p_pre, v_cache_h.astype(jnp.float32))
+            o = o + jnp.einsum("bntu,bunh->btnh", p_blk, v_h.astype(jnp.float32))
+            o = o.astype(h.dtype)
+        attn_out = o.reshape(B, T, nh * hd) @ w["wo"]
 
         if cfg.swin_norm:
             h1 = h + rms_norm(attn_out, w["attn_norm"], cfg.rms_norm_eps)
