@@ -114,13 +114,15 @@ def _verify_and_update(
     ctx: _Ctx,
     state: SpecState,
     candidates: jnp.ndarray,        # [P, D] token paths (-1 padded)
-    q_probs: Optional[jnp.ndarray],  # [P, D] (static sampling mode)
+    node_q: Optional[jnp.ndarray],  # [N+1] residual q (static sampling mode)
     level_probs,                    # tuple (static sampling mode)
-    p_indices, b_indices,           # static tree bookkeeping (or None)
+    children: jnp.ndarray,          # [N+1, C] child slots
+    inlevel_rank,                   # [N+1] or None
     tree_tokens: jnp.ndarray,       # [N+1]
     tree_mask: jnp.ndarray,         # [N+1, N+1]
     tree_pos: jnp.ndarray,          # [N+1] node depths
     retrieve: jnp.ndarray,          # [P, D] slot paths (-1 padded)
+    max_depth: int,
 ):
     """Shared tail of a spec step: base tree forward, acceptance, KV rollback,
     drafter extension.  Returns (state', root_hidden for next draft)."""
@@ -152,45 +154,47 @@ def _verify_and_update(
         logits_all = ctx.logits_fn(logits_all, tree_pos + state.base_kv.length)
     hidden_new = res.hidden                                     # [2, N+1, H]
 
-    retrieve_safe = jnp.where(retrieve < 0, 0, retrieve)
-    path_logits = logits_all[retrieve_safe]                      # [P, D, V]
-
     state_rng, verify_rng, bonus_rng = jax.random.split(state.rng, 3)
 
     if ecfg.warp.greedy:
+        retrieve_safe = jnp.where(retrieve < 0, 0, retrieve)
+        path_logits = logits_all[retrieve_safe]                  # [P, D, V]
         best, alen, bonus_logits = acc.greedy_verify(
             path_logits, candidates, ctx.nearest, ecfg.lantern
         )
         bonus = jnp.argmax(bonus_logits).astype(jnp.int32)
+        sel_slots = retrieve_safe[best]                          # [D]
     else:
-        best, alen, dist = acc.stochastic_verify(
-            verify_rng, path_logits, candidates, ecfg.warp,
+        # O(depth x children) tree walk (equivalent to the reference's
+        # path-table scan; see tests/test_acceptance.py)
+        walk_path, alen, dist = acc.stochastic_verify_tree(
+            verify_rng, logits_all, tree_tokens, children,
+            depth=max_depth, warp=ecfg.warp,
             nearest=ctx.nearest, lantern=ecfg.lantern,
-            q_probs=q_probs, level_probs=level_probs,
-            p_indices=p_indices, b_indices=b_indices,
-            tree_tokens=tree_tokens,
+            node_q=node_q, level_probs=level_probs,
+            node_level_row=inlevel_rank,
         )
         bonus = jax.random.categorical(bonus_rng, jnp.log(jnp.maximum(dist, 1e-30))).astype(jnp.int32)
+        # pad the slot path to the retrieve width D
+        sel_slots = jnp.zeros((D,), jnp.int32).at[: walk_path.shape[0]].set(walk_path)
 
     n_acc = alen + 1                                            # incl. root
+    sel_tokens = tree_tokens[sel_slots]                          # [D]
 
     # --- base KV rollback: compact accepted rows ---
-    base_kv = res.kv.accept_path(retrieve_safe[best], n_acc)
+    base_kv = res.kv.accept_path(sel_slots, n_acc)
 
     # --- commit tokens ---
-    cand_row = jnp.where(jnp.arange(D) < n_acc, candidates[best], 0)
+    cand_row = jnp.where(jnp.arange(D) < n_acc, sel_tokens, 0)
     tokens = jax.lax.dynamic_update_slice(state.tokens, cand_row.astype(jnp.int32), (state.n_new,))
     n_new = state.n_new + n_acc
 
     # --- drafter extension over accepted rows ---
     j = jnp.arange(D)
     next_tok = jnp.where(
-        j < alen,
-        _safe_gather_ext(jnp.concatenate([candidates[best], jnp.array([-1], jnp.int32)]),
-                         jnp.minimum(j + 1, D - 1)),
-        bonus,
+        j < alen, sel_tokens[jnp.minimum(j + 1, D - 1)], bonus,
     ).astype(jnp.int32)                                          # [D]
-    hid_rows = hidden_new[:, retrieve_safe[best]]                # [2, D, H]
+    hid_rows = hidden_new[:, sel_slots]                          # [2, D, H]
     out_hidden, draft_kv = drf.extend(
         ctx.dparams, dcfg, ctx.drope, state.draft_kv,
         jnp.broadcast_to(next_tok[None, :], (2, D)), hid_rows, n_acc,
@@ -224,8 +228,8 @@ def make_static_step(
     retrieve = jnp.asarray(spec.retrieve_indices)
     attn_mask = jnp.asarray(spec.attn_mask)
     depth_arr = jnp.asarray(spec.depth)
-    p_indices = jnp.asarray(spec.p_indices)
-    b_indices = jnp.asarray(spec.b_indices)
+    children = jnp.asarray(spec.children)
+    inlevel = jnp.asarray(spec.inlevel_rank)
     sampling = ecfg.warp.active
 
     def step(state: SpecState) -> SpecState:
@@ -241,19 +245,16 @@ def make_static_step(
             q_vec = jnp.concatenate(
                 [jnp.ones((1,), jnp.float32), d.ss_prob.reshape(-1)]
             )
-            q_tree = q_vec[tree_indices]
-            q_ext = jnp.concatenate([q_tree, jnp.ones((1,), jnp.float32)])
-            q_probs = _safe_gather_ext(q_ext, retrieve)
+            node_q = q_vec[tree_indices]                         # [N+1]
             level_probs = d.level_probs
         else:
-            q_probs, level_probs = None, None
+            node_q, level_probs = None, None
 
         state, root_hidden = _verify_and_update(
             ecfg, cfg, dcfg, ctx, state,
-            candidates, q_probs, level_probs,
-            p_indices if sampling else None,
-            b_indices if sampling else None,
-            tree_tokens, attn_mask, depth_arr, retrieve,
+            candidates, node_q, level_probs,
+            children, inlevel if sampling else None,
+            tree_tokens, attn_mask, depth_arr, retrieve, spec.max_depth,
         )
 
         # --- next draft tree ---
@@ -285,8 +286,9 @@ def make_dynamic_step(
 
         state, root_hidden = _verify_and_update(
             ecfg, cfg, dcfg, ctx, state,
-            candidates, None, None, None, None,
+            candidates, None, None, d.children, None,
             d.draft_tokens, d.tree_mask, d.tree_position_ids, retrieve,
+            dcfg.depth + 1,
         )
 
         new_draft, dkv = drf.draft_dynamic(

@@ -221,6 +221,7 @@ class DynamicDraft(NamedTuple):
     retrieve_indices: jnp.ndarray   # [N+1, depth+2] all-node root paths, -1 pad
     tree_mask: jnp.ndarray          # [N+1, N+1] ancestor|self (bool)
     tree_position_ids: jnp.ndarray  # [N+1] node depths
+    children: jnp.ndarray           # [N+1, K] child slots in rank order, -1 pad
 
 
 def _ancestor_closure(parent: jnp.ndarray, depth_bound: int) -> jnp.ndarray:
@@ -329,10 +330,20 @@ def draft_dynamic(
     A = _ancestor_closure(parent, depth + 1)                      # [N+1, N+1]
     tree_position_ids = jnp.sum(A, axis=1).astype(jnp.int32) - 1
 
+    # children table for the tree-walk verifier: child slots per parent in
+    # sibling-rank order (rank = count of earlier slots with the same parent)
+    n1 = N + 1
+    slots = jnp.arange(n1, dtype=jnp.int32)
+    same_parent_before = (parent[None, :] == parent[:, None]) & (
+        slots[None, :] < slots[:, None]
+    )
+    sib_rank = jnp.sum(same_parent_before, axis=1).astype(jnp.int32)
+    children = jnp.full((n1, K), -1, jnp.int32)
+    children = children.at[parent[1:], sib_rank[1:]].set(slots[1:])
+
     # all-node root paths (prefix-closed superset of the reference's leaf
     # rows — identical acceptance semantics, static shape)
     D = depth + 2
-    n1 = N + 1
     paths = jnp.full((n1, D), -1, jnp.int32)
     cur = jnp.arange(n1, dtype=jnp.int32)
     col = tree_position_ids                                      # own depth
@@ -353,4 +364,5 @@ def draft_dynamic(
         retrieve_indices=paths,
         tree_mask=A,
         tree_position_ids=tree_position_ids,
+        children=children,
     ), kv

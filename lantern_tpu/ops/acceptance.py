@@ -308,3 +308,154 @@ def _run_level(
         sample_dist=jnp.where(active, out.gtp, state.sample_dist),
         adjusted=jnp.where(active, out.adjusted, state.adjusted),
     )
+
+
+class _WalkState(NamedTuple):
+    done: jnp.ndarray          # bool
+    cur: jnp.ndarray           # int32 current accepted slot
+    accept_len: jnp.ndarray    # int32 accepted incl. root
+    path: jnp.ndarray          # [D] accepted slot chain (root at 0)
+    sample_dist: jnp.ndarray   # [V]
+    adjusted: jnp.ndarray      # bool
+
+
+def stochastic_verify_tree(
+    rng: Optional[jax.Array],
+    node_logits: jnp.ndarray,      # [N+1, V] cfg-combined logits per tree slot
+    tree_tokens: jnp.ndarray,      # [N+1]
+    children: jnp.ndarray,         # [N+1, C] child slots, -1 padded
+    depth: int,                    # static max depth (levels to walk)
+    warp: LogitsWarp,
+    nearest: Optional[jnp.ndarray] = None,
+    lantern: LanternSpec = LanternSpec(),
+    node_q: Optional[jnp.ndarray] = None,       # [N+1] drafter residual q
+    level_probs: Optional[Sequence[jnp.ndarray]] = None,
+    node_level_row: Optional[jnp.ndarray] = None,  # [N+1] parent's in-level row
+    uniforms: Optional[jnp.ndarray] = None,     # [depth, C]
+):
+    """Multi-round rejection sampling as a direct tree walk.
+
+    Semantically identical to ``stochastic_verify`` over the path table (the
+    reference's is_eq/dedup row scan reduces to trying the accepted node's
+    children in slot order; sibling tokens are distinct by construction), but
+    costs O(depth * max_children) instead of O(depth * num_paths) sequential
+    iterations — the engine's fast path.
+
+    Returns ``(accepted_slots [depth+1], accept_len, sample_dist)`` where
+    ``accepted_slots[0] == 0`` (root) and entries past ``accept_len`` are
+    garbage.
+    """
+    N1, V = node_logits.shape
+    C = children.shape[1]
+    multidraft = node_q is not None
+    if lantern.enabled and nearest is None:
+        raise ValueError("lantern acceptance requires a nearest-latent table")
+
+    D = depth + 1
+    state = _WalkState(
+        done=jnp.asarray(False),
+        cur=jnp.zeros((), jnp.int32),
+        accept_len=jnp.asarray(1, jnp.int32),
+        path=jnp.zeros((D,), jnp.int32),
+        sample_dist=jnp.zeros((V,), jnp.float32),
+        adjusted=jnp.asarray(False),
+    )
+
+    for i in range(1, D):
+        if uniforms is not None:
+            u = uniforms[i - 1]
+        else:
+            rng, r = jax.random.split(rng)
+            u = jax.random.uniform(r, (C,))
+
+        active = (~state.done) & (state.accept_len == i)
+        gtp0 = jax.nn.softmax(warp_logits(node_logits[state.cur], warp), axis=-1)
+        kids = children[state.cur]                         # [C]
+        kid_tok = jnp.where(kids >= 0, tree_tokens[jnp.maximum(kids, 0)], -1)
+        # sibling tokens are distinct for real drafters (sampled without
+        # replacement per node); keep the reference's dedup for generality
+        dup = jnp.any(
+            (kid_tok[None, :] == kid_tok[:, None])
+            & jnp.tril(jnp.ones((C, C), bool), k=-1)
+            & (kids >= 0)[None, :],
+            axis=1,
+        )
+        # drafter distribution row that sampled these children = the accepted
+        # node's rank within the internal nodes of its level
+        lvl_row = node_level_row[state.cur] if multidraft else None
+
+        class Carry(NamedTuple):
+            gtp: jnp.ndarray
+            accepted: jnp.ndarray
+            slot: jnp.ndarray
+            adjusted: jnp.ndarray
+
+        def body(c, carry: Carry):
+            child = kids[c]
+            x = jnp.maximum(kid_tok[c], 0)
+            do_try = (child >= 0) & (~carry.accepted) & (~dup[c])
+            if multidraft:
+                do_try = do_try & (node_q[jnp.maximum(child, 0)] > 0)
+            px = carry.gtp[x]
+            if lantern.enabled:
+                neigh = nearest[x][: lantern.k]
+                cum = jnp.cumsum(carry.gtp[neigh])
+                jstar = _neighbor_budget_index(cum[None, :], px[None], lantern.delta)[0]
+                px = jnp.where(jstar >= 0, px + cum[jnp.maximum(jstar, 0)], px)
+            qx = node_q[jnp.maximum(child, 0)] if multidraft else 1.0
+            accept_now = do_try & (u[c] <= px / qx)
+            reject_now = do_try & (~accept_now)
+
+            if multidraft:
+                q = level_probs[i - 1][lvl_row]
+                # zero earlier-drafted siblings (children before c)
+                sib_tok = jnp.where(jnp.arange(C) < c, kid_tok, -1)
+                sib_mask = jnp.zeros((V,), bool).at[jnp.maximum(sib_tok, 0)].set(sib_tok >= 0)
+                has_sib = c > 0
+                q = jnp.where(sib_mask, 0.0, q)
+                q = jnp.where(has_sib, q / jnp.maximum(q.sum(), 1e-30), q)
+                if lantern.enabled:
+                    neigh1 = nearest[x][: lantern.k + 1]
+                    q = jnp.where(
+                        jnp.zeros((V,), bool).at[neigh1].set(jstar >= 0), 0.0, q
+                    )
+                new_gtp = jnp.maximum(carry.gtp - q, 0.0)
+            else:
+                new_gtp = carry.gtp.at[x].set(0.0)
+                if lantern.enabled:
+                    neigh1 = nearest[x][: lantern.k + 1]
+                    new_gtp = jnp.where(
+                        jnp.zeros((V,), bool).at[neigh1].set(jstar >= 0), 0.0, new_gtp
+                    )
+            ssum = new_gtp.sum()
+            new_gtp = jnp.where(ssum == 0, jnp.ones((V,), jnp.float32), new_gtp)
+            new_gtp = new_gtp / jnp.maximum(new_gtp.sum(), 1e-30)
+
+            return Carry(
+                gtp=jnp.where(reject_now, new_gtp, carry.gtp),
+                accepted=carry.accepted | accept_now,
+                slot=jnp.where(accept_now, child, carry.slot),
+                adjusted=carry.adjusted | reject_now,
+            )
+
+        init = Carry(gtp=gtp0, accepted=jnp.asarray(False),
+                     slot=jnp.zeros((), jnp.int32), adjusted=jnp.asarray(False))
+        out = jax.lax.fori_loop(0, C, body, init)
+
+        accepted = active & out.accepted
+        state = _WalkState(
+            done=state.done | (active & ~out.accepted),
+            cur=jnp.where(accepted, out.slot, state.cur),
+            accept_len=jnp.where(accepted, state.accept_len + 1, state.accept_len),
+            path=jnp.where(accepted, state.path.at[i].set(out.slot), state.path),
+            sample_dist=jnp.where(active, out.gtp, state.sample_dist),
+            adjusted=jnp.where(active, out.adjusted, state.adjusted),
+        )
+
+    full = state.accept_len == D
+    base_dist = jax.nn.softmax(
+        warp_logits(node_logits[state.cur], warp), axis=-1
+    )
+    use_residual = state.adjusted & (~full)
+    sample_dist = jnp.where(use_residual, state.sample_dist, base_dist)
+    return state.path, state.accept_len - 1, sample_dist

@@ -155,6 +155,9 @@ class TreeSpec:
                                      #   multi-round sampling bookkeeping)
     b_indices: np.ndarray            # [P, max_depth+1, S] int32 tree slots of
                                      #   earlier-drafted siblings, -1 padded
+    children: np.ndarray             # [N+1, C_max] child slots in slot order, -1 pad
+    inlevel_rank: np.ndarray         # [N+1] rank among the internal nodes of the
+                                     #   node's own level (root = 0); 0 for leaves
     levels: Tuple[DrafterLevel, ...] # drafter-side per-level buffers
     num_internal: int                # total internal nodes (drafter forward rows)
 
@@ -264,6 +267,17 @@ def compile_tree(tree_paths: Sequence[Sequence[int]], topk: int = TOPK) -> TreeS
         for j, s in enumerate(kids_sorted):
             node_b[s] = kids_sorted[:j]
 
+    # children table (slot order == child-rank order) for the tree-walk
+    # verifier; inlevel rank for indexing drafter level distributions
+    c_max = max((len(v) for v in children.values()), default=1)
+    children_arr = np.full((n + 1, max(c_max, 1)), -1, dtype=np.int32)
+    for pslot, kids in children.items():
+        for j, s in enumerate(sorted(kids, key=lambda s: value[s])):
+            children_arr[pslot, j] = s
+    inlevel_arr = np.zeros((n + 1,), dtype=np.int32)
+    for s, r in inlevel_rank.items():
+        inlevel_arr[s] = r
+
     P = len(rows)
     p_indices = np.zeros((P, path_len), dtype=np.int32)
     max_sib = max((len(v) for v in node_b.values()), default=0)
@@ -332,6 +346,8 @@ def compile_tree(tree_paths: Sequence[Sequence[int]], topk: int = TOPK) -> TreeS
         retrieve_valid=retrieve_valid,
         p_indices=p_indices,
         b_indices=b_indices,
+        children=children_arr,
+        inlevel_rank=inlevel_arr,
         levels=tuple(levels),
         num_internal=num_internal,
     )

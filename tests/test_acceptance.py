@@ -48,20 +48,37 @@ def fake_self(nearest):
     return types.SimpleNamespace(nearest_latents=nearest.copy())
 
 
+def draftlike_tokens(rng, spec, collide=False):
+    """Assign tokens the way a real drafter does: children of each node are
+    distinct (sampled without replacement), so token paths identify slot
+    paths.  ``collide=True`` forces one sibling collision to exercise the
+    reference's dedup walk."""
+    toks = np.zeros((spec.num_nodes,), np.int64)
+    toks[0] = rng.integers(0, V)
+    for s in range(spec.num_nodes):
+        kids = [k for k in spec.children[s] if k >= 0]
+        if kids:
+            vals = rng.choice(V, size=len(kids), replace=False)
+            for k, v in zip(kids, vals):
+                toks[k] = v
+    if collide and spec.children.shape[1] >= 2 and spec.children[0, 1] >= 0:
+        toks[spec.children[0, 1]] = toks[spec.children[0, 0]]
+    return toks
+
+
 def make_case(seed, tree_name="mc_sim_7b_63", collide=True):
-    """Random tree tokens + base logits shaped like a real verification step."""
+    """Draft-like tree tokens + base logits shaped like a real verification
+    step."""
     rng = np.random.default_rng(seed)
     spec = trees.get_tree(tree_name)
-    n = spec.num_nodes
-    tree_tokens = rng.integers(0, V, size=n).astype(np.int64)
-    if collide:
-        # force sibling token collisions to exercise the dedup walk
-        tree_tokens[2] = tree_tokens[1]
-    tree_tokens[0] = rng.integers(0, V)
+    tree_tokens = draftlike_tokens(rng, spec, collide)
     ext = np.concatenate([tree_tokens, [-1]])
     candidates = ext[spec.retrieve_indices]            # [P, D]
-    logits = rng.normal(size=(spec.num_paths, spec.path_len, V)).astype(np.float32) * 3
-    return spec, tree_tokens, candidates, logits
+    # per-NODE logits gathered along paths (the real verification layout)
+    node_logits = rng.normal(size=(spec.num_nodes, V)).astype(np.float32) * 3
+    logits = node_logits[np.where(spec.retrieve_indices < 0, 0,
+                                  spec.retrieve_indices)]
+    return spec, tree_tokens, candidates, logits, node_logits
 
 
 def _accepted_tokens(candidates, best, alen):
@@ -74,7 +91,7 @@ def _accepted_tokens(candidates, best, alen):
 
 @pytest.mark.parametrize("seed", range(5))
 def test_greedy_strict_matches_reference(ref_ea, nearest, seed):
-    spec, toks, cand, logits = make_case(seed)
+    spec, toks, cand, logits, _ = make_case(seed)
     me_best, me_len, me_bonus = _greedy(jnp.asarray(logits), jnp.asarray(cand))
 
     self_ = fake_self(nearest)
@@ -91,7 +108,7 @@ def test_greedy_strict_matches_reference(ref_ea, nearest, seed):
 @pytest.mark.parametrize("seed", range(5))
 @pytest.mark.parametrize("delta", [0.05, 0.5, 2.0])
 def test_greedy_lantern_matches_reference(ref_ea, nearest, seed, delta):
-    spec, toks, cand, logits = make_case(seed)
+    spec, toks, cand, logits, _ = make_case(seed)
     lant = acc.LanternSpec(k=NEIGH_K, delta=delta)
     me_best, me_len, me_bonus = _greedy(
         jnp.asarray(logits), jnp.asarray(cand), jnp.asarray(nearest), lantern=lant
@@ -124,7 +141,7 @@ class _ConstRandom:
 @pytest.mark.parametrize("u", [0.0, 0.2, 0.6, 0.999])
 @pytest.mark.parametrize("use_lantern", [False, True])
 def test_stochastic_matches_reference(ref_ea, nearest, monkeypatch, seed, u, use_lantern):
-    spec, toks, cand, logits = make_case(seed)
+    spec, toks, cand, logits, _ = make_case(seed)
     warp = LogitsWarp(temperature=1.0, top_k=0, top_p=1.0)
     lant = acc.LanternSpec(k=NEIGH_K, delta=0.3) if use_lantern else acc.LanternSpec()
 
@@ -158,10 +175,12 @@ def make_multidraft_case(seed, tree_name="mc_sim_7b_63"):
     rng = np.random.default_rng(100 + seed)
     spec = trees.get_tree(tree_name)
     n = spec.num_nodes
-    tree_tokens = rng.integers(0, V, size=n).astype(np.int64)
+    tree_tokens = draftlike_tokens(rng, spec)
     ext = np.concatenate([tree_tokens, [-1]])
     candidates = ext[spec.retrieve_indices]
-    logits = rng.normal(size=(spec.num_paths, spec.path_len, V)).astype(np.float32) * 3
+    node_logits = rng.normal(size=(n, V)).astype(np.float32) * 3
+    logits = node_logits[np.where(spec.retrieve_indices < 0, 0,
+                                  spec.retrieve_indices)]
 
     # drafter distributions per level: rows = internal nodes at that depth
     internal_slots = np.unique(spec.parent_slot[1:])
@@ -179,14 +198,14 @@ def make_multidraft_case(seed, tree_name="mc_sim_7b_63"):
     node_q[0] = 1.0
     q_ext = np.concatenate([node_q, [1.0]]).astype(np.float32)
     q_probs = q_ext[spec.retrieve_indices]
-    return spec, tree_tokens, candidates, logits, level_probs, q_probs
+    return spec, tree_tokens, candidates, logits, level_probs, q_probs, node_logits, node_q
 
 
 @pytest.mark.parametrize("seed", range(3))
 @pytest.mark.parametrize("u", [0.0, 0.4, 0.999])
 @pytest.mark.parametrize("use_lantern", [False, True])
 def test_multidraft_matches_reference(ref_ea, nearest, monkeypatch, seed, u, use_lantern):
-    spec, toks, cand, logits, level_probs, q_probs = make_multidraft_case(seed)
+    spec, toks, cand, logits, level_probs, q_probs, _, _ = make_multidraft_case(seed)
     warp = LogitsWarp(temperature=1.0, top_k=0, top_p=1.0)
     lant = acc.LanternSpec(k=NEIGH_K, delta=0.3) if use_lantern else acc.LanternSpec()
 
@@ -222,3 +241,58 @@ def test_multidraft_matches_reference(ref_ea, nearest, monkeypatch, seed, u, use
         _accepted_tokens(cand, me_best, me_len), _accepted_tokens(cand, rb, rl)
     )
     np.testing.assert_allclose(np.asarray(me_dist), rdist.numpy(), rtol=2e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# tree-walk verifier equivalence (the engine's fast path)
+# ---------------------------------------------------------------------------
+
+_stoch_tree = jax.jit(acc.stochastic_verify_tree,
+                      static_argnames=("depth", "warp", "lantern"))
+
+
+@pytest.mark.parametrize("seed", range(3))
+@pytest.mark.parametrize("u", [0.0, 0.4, 0.999])
+@pytest.mark.parametrize("variant", ["q1", "multidraft", "lantern"])
+def test_tree_walk_equals_path_walk(nearest, seed, u, variant):
+    """The O(depth x children) tree walk must reproduce the O(depth x paths)
+    path-table walk exactly (same pinned uniforms)."""
+    if variant == "multidraft":
+        (spec, toks, cand, logits, level_probs, q_probs,
+         node_logits, node_q) = make_multidraft_case(seed)
+    else:
+        spec, toks, cand, logits, node_logits = make_case(seed, collide=False)
+        level_probs = q_probs = node_q = None
+    warp = LogitsWarp(temperature=1.0, top_k=0, top_p=1.0)
+    lant = (acc.LanternSpec(k=NEIGH_K, delta=0.3) if variant == "lantern"
+            else acc.LanternSpec())
+    D, P = spec.path_len, spec.num_paths
+
+    pb, pl_, pd = _stoch(
+        None, jnp.asarray(logits), jnp.asarray(cand), warp,
+        nearest=jnp.asarray(nearest), lantern=lant,
+        q_probs=None if q_probs is None else jnp.asarray(q_probs),
+        level_probs=None if level_probs is None else tuple(jnp.asarray(x) for x in level_probs),
+        p_indices=jnp.asarray(spec.p_indices) if q_probs is not None else None,
+        b_indices=jnp.asarray(spec.b_indices) if q_probs is not None else None,
+        tree_tokens=jnp.asarray(toks) if q_probs is not None else None,
+        uniforms=jnp.full((D, P), u, jnp.float32),
+    )
+
+    C = spec.children.shape[1]
+    path, alen, dist = _stoch_tree(
+        None, jnp.asarray(node_logits), jnp.asarray(toks),
+        jnp.asarray(spec.children), depth=spec.max_depth, warp=warp,
+        nearest=jnp.asarray(nearest), lantern=lant,
+        node_q=None if node_q is None else jnp.asarray(node_q),
+        level_probs=None if level_probs is None else tuple(jnp.asarray(x) for x in level_probs),
+        node_level_row=jnp.asarray(spec.inlevel_rank),
+        uniforms=jnp.full((spec.max_depth, C), u, jnp.float32),
+    )
+
+    assert int(alen) == int(pl_), (variant, seed, u)
+    # accepted tokens identical
+    exp = cand[int(pb), : int(pl_) + 1]
+    got = np.asarray(jnp.asarray(toks)[np.asarray(path)[: int(alen) + 1]])
+    np.testing.assert_array_equal(got, exp)
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(pd), rtol=2e-4, atol=1e-6)

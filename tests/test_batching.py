@@ -87,3 +87,67 @@ def test_batched_throughput_counts(setup):
     for r in done:
         assert r.tokens.shape == (MAX_NEW,)
         assert r.steps >= 1 and r.step_compression >= 1.0
+
+
+def test_batched_sampling_mode(setup):
+    """Batched engine with stochastic verification (sampling) runs and
+    matches single-request results per seed."""
+    cfg, dcfg, params, dparams, _, tree = setup
+    ecfg = spec.SpecDecodeConfig(
+        warp=LogitsWarp(temperature=1.0, top_k=20), cfg_scale=2.0,
+        max_new=MAX_NEW, mode="static",
+    )
+    expected = {}
+    for i, lab in enumerate([2, 6]):
+        res = spec.generate(
+            params, dparams, ecfg, cfg, dcfg, tree,
+            jnp.asarray([lab]), jnp.asarray([cfg.num_classes]),
+            jax.random.key(50 + i),
+        )
+        expected[lab] = np.asarray(res.tokens)
+
+    eng = BatchedEngine(ecfg=ecfg, cfg=cfg, dcfg=dcfg, tree=tree,
+                        params=params, dparams=dparams, num_slots=2)
+    reqs = [Request(uid=lab, cond=jnp.asarray([lab]),
+                    uncond=jnp.asarray([cfg.num_classes]), seed=50 + i)
+            for i, lab in enumerate([2, 6])]
+    done = Scheduler(eng, use_native=False).run(reqs)
+    for r in done:
+        np.testing.assert_array_equal(r.tokens, expected[r.uid])
+
+
+def test_batched_token_prompts():
+    """Chameleon-style token-prompt requests through the batched engine."""
+    from lantern_tpu.models import chameleon as cham
+
+    cfg = configs.tiny_config(
+        vocab_size=64, hidden_size=64, num_layers=2, num_heads=4,
+        rope_kind="1d", cond_kind="none", qk_norm=True,
+    )
+    dcfg = configs.drafter_config(cfg, total_tokens=10, depth=2, top_k=4)
+    params = tfm.init_params(jax.random.key(0), cfg)
+    dparams = drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
+    mask = jnp.asarray(cham.non_image_token_mask(64))
+    ecfg = spec.SpecDecodeConfig(
+        warp=LogitsWarp(temperature=0.0), cfg_scale=2.0,
+        max_new=8, mode="static",
+    )
+    tree = trees.get_tree("chain")
+    prompts = [cham.anole_token_prompt([12, 33, 7]),
+               cham.anole_token_prompt([5, 9, 44])]
+
+    expected = []
+    for i, tp in enumerate(prompts):
+        res = spec.generate(params, dparams, ecfg, cfg, dcfg, tree,
+                            None, None, jax.random.key(9 + i),
+                            token_prompt=tp, logits_mask=mask)
+        expected.append(np.asarray(res.tokens))
+
+    eng = BatchedEngine(ecfg=ecfg, cfg=cfg, dcfg=dcfg, tree=tree,
+                        params=params, dparams=dparams, num_slots=2,
+                        logits_mask=mask)
+    reqs = [Request(uid=i, token_prompt=tp, seed=9 + i)
+            for i, tp in enumerate(prompts)]
+    done = Scheduler(eng, use_native=False).run(reqs)
+    for r in done:
+        np.testing.assert_array_equal(r.tokens, expected[r.uid])
