@@ -1,0 +1,98 @@
+"""eval_fid_clip task: FID + CLIP score over a generated-image directory.
+
+Reference: entrypoints/eval_fid_clip.py (GigaGAN-derived harness). Same
+surface: ``--fake_dir --ref_dir --caption_path --how_many --eval_res``;
+writes ``<fake_dir>/score.txt`` with ``CLIP score: ...`` and
+``FID_<res>px: ...`` lines. Feature extraction is pluggable (local HF CLIP
+checkpoint, torchvision InceptionV3, or precomputed .npz) because this image
+is zero-egress; the metric math lives in lantern_tpu.evals.metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from lantern_tpu.evals import features as F
+from lantern_tpu.evals import metrics as M
+
+
+def build_parser():
+    p = argparse.ArgumentParser("eval_fid_clip")
+    p.add_argument("--fake_dir", required=True)
+    p.add_argument("--ref_dir", required=True,
+                   help="reference image dir or precomputed features .npz")
+    p.add_argument("--caption_path",
+                   default="data/prompts/captions_val2017_longest.json")
+    p.add_argument("--how_many", type=int, default=5000)
+    p.add_argument("--eval_res", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--feature-extractor", default="hf_clip",
+                   choices=["hf_clip", "inception"],
+                   help="FID feature space (cleanfid clip_vit_b_32 / inception_v3)")
+    p.add_argument("--clip-model-dir", default=None,
+                   help="local HF CLIP checkpoint dir (zero-egress replacement "
+                        "for openai ViT-B/32 download)")
+    p.add_argument("--skip-clip-score", action="store_true")
+    p.add_argument("--device", default="cpu")
+    return p
+
+
+def load_captions(path, n):
+    with open(path, encoding="utf-8") as f:
+        caps = json.load(f)
+    out = []
+    for c in caps[:n]:
+        out.append(c[0] if isinstance(c, list) else c)
+    return out
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    needs_net = (not args.fake_dir.endswith(".npz")
+                 or not args.ref_dir.endswith(".npz")
+                 or not args.skip_clip_score)
+    extractor = None
+    if needs_net:
+        extractor = F.make_extractor(
+            "inception" if args.feature_extractor == "inception" else "hf_clip",
+            model_dir=args.clip_model_dir, device=args.device)
+
+    fake_feats = F.extract_dir_features(
+        args.fake_dir, extractor, resize=args.eval_res,
+        how_many=args.how_many, batch=args.batch_size)
+    ref_feats = F.extract_dir_features(
+        args.ref_dir, extractor, resize=args.eval_res,
+        how_many=args.how_many, batch=args.batch_size)
+    fid = M.fid_from_features(ref_feats, fake_feats)
+
+    clip_score = None
+    if not args.skip_clip_score and isinstance(extractor, F.HFClipExtractor):
+        captions = load_captions(args.caption_path, args.how_many)
+        paths = F.list_images(args.fake_dir)[: args.how_many]
+        n = min(len(paths), len(captions))
+        img_embs = fake_feats[:n] if not args.fake_dir.endswith(".npz") else \
+            extractor.image_features(F.load_images(paths[:n], args.eval_res))
+        txt_embs = extractor.text_features(captions[:n], batch=args.batch_size)
+        clip_score = M.clip_score_from_embeddings(img_embs[:n], txt_embs)
+
+    lines = []
+    if clip_score is not None:
+        lines.append(f"CLIP score: {clip_score}")
+    lines.append(f"FID_{args.eval_res}px: {fid}")
+    out_path = os.path.join(args.fake_dir, "score.txt") \
+        if os.path.isdir(args.fake_dir) else "score.txt"
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    for ln in lines:
+        print(ln)
+    print(f"writing to {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

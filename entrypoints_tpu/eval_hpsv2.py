@@ -1,0 +1,97 @@
+"""eval_hpsv2 task: HPSv2-style human-preference score for generated images.
+
+Reference: entrypoints/eval_hpsv2.py — walks an image dir, matches each
+``prompt_<idx>.png`` / ``image_<idx>.png`` / ``<idx>.png`` to its prompt row,
+and averages ``hpsv2.score(img, prompt, v2.1)``. HPSv2 is a CLIP-H model
+finetuned on human preference; its score is logit_scale * cos(img, txt).
+This implementation scores with any local HF CLIP-style checkpoint (pass the
+converted HPSv2 weights for exact parity, or any CLIP for a proxy score);
+falls back to the ``hpsv2`` package when installed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import re
+
+import numpy as np
+
+from lantern_tpu.evals import features as F
+from lantern_tpu.evals import metrics as M
+
+
+def build_parser():
+    p = argparse.ArgumentParser("eval_hpsv2")
+    p.add_argument("--image_path", required=True)
+    p.add_argument("--prompt_path", required=True, help=".tsv/.csv/.json prompts")
+    p.add_argument("--clip-model-dir", default=None,
+                   help="local HF checkpoint of HPSv2 (or any CLIP) weights")
+    p.add_argument("--use-hpsv2-package", action="store_true")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--device", default="cpu")
+    return p
+
+
+def load_prompts(path):
+    if path.endswith(".tsv"):
+        with open(path) as f:
+            return [r["Prompt"] for r in csv.DictReader(f, delimiter="\t")]
+    if path.endswith(".csv"):
+        with open(path) as f:
+            return [r["Prompt"] for r in csv.DictReader(f)]
+    if path.endswith(".json"):
+        with open(path) as f:
+            caps = json.load(f)
+        return [c[0] if isinstance(c, list) else c for c in caps]
+    raise ValueError("Prompt file should be .tsv, .csv or .json")
+
+
+def match_index(fname: str):
+    # reference filename conventions (eval_hpsv2.py:44-52)
+    m = re.search(r"(?:prompt|image)_(\d{1,4})\.(?:png|jpg)", fname)
+    if m:
+        return int(m.group(1))
+    m = re.search(r"(\d{1,6})\.(?:png|jpg)", fname)
+    return int(m.group(1)) if m else None
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    prompts = load_prompts(args.prompt_path)
+    paths = F.list_images(args.image_path)
+    pairs = [(p, prompts[i]) for p in paths
+             if (i := match_index(os.path.basename(p))) is not None
+             and i < len(prompts)]
+    if not pairs:
+        raise SystemExit(f"no scoreable images under {args.image_path}")
+
+    if args.use_hpsv2_package:
+        import hpsv2
+        from PIL import Image
+
+        scores = [float(np.asarray(
+            hpsv2.score(Image.open(p), t, hps_version="v2.1")).reshape(-1)[0])
+            for p, t in pairs]
+    else:
+        if not args.clip_model_dir:
+            raise SystemExit(
+                "eval_hpsv2 needs --clip-model-dir (local HPSv2/CLIP HF "
+                "checkpoint) or --use-hpsv2-package on an eval host")
+        ex = F.HFClipExtractor(args.clip_model_dir, device=args.device,
+                               prepend="")
+        imgs = F.load_images([p for p, _ in pairs], resize=224)
+        img_embs = ex.image_features(imgs, batch=args.batch_size)
+        txt_embs = ex.text_features([t for _, t in pairs],
+                                    batch=args.batch_size)
+        scores = M.hps_from_embeddings(img_embs, txt_embs).tolist()
+
+    print("Image Path:", args.image_path)
+    print(float(np.mean(scores)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,37 +1,22 @@
-"""Offline image-quality evaluation tasks (FID/CLIP, precision/recall, HPSv2).
+"""Dispatcher for the offline image-quality eval tasks.
 
-These are offline torch-CPU metrics over generated image directories
-(reference: entrypoints/eval_fid_clip.py, eval_prec_recall.py,
-eval_hpsv2.py).  They need eval-only dependencies (clean-fid, clip,
-hpsv2) that are not part of the TPU runtime image; each runs when its
-dependency is importable and explains what to install otherwise.
+FID / CLIP-score / precision-recall / HPSv2 (reference:
+entrypoints/eval_fid_clip.py, eval_prec_recall.py, eval_hpsv2.py).
+The metric math is first-party (lantern_tpu.evals.metrics) and runs
+anywhere; feature extraction networks are pluggable — precomputed .npz,
+a local HF CLIP checkpoint, or torchvision nets on an eval host.
 """
 
 from __future__ import annotations
 
-DEPS = {
-    "eval_fid_clip": ["cleanfid", "clip"],
-    "eval_prec_recall": ["torchvision"],
-    "eval_hpsv2": ["hpsv2"],
-}
-
 
 def run(task: str, extra_args):
-    missing = []
-    for dep in DEPS.get(task, []):
-        try:
-            __import__(dep)
-        except ImportError:
-            missing.append(dep)
-    if missing:
-        print(
-            f"{task}: missing eval dependencies {missing}. These offline "
-            f"metrics run on a CPU eval host with `pip install {' '.join(missing)}`; "
-            f"they are not part of the TPU decode path."
-        )
-        return 1
-    if task == "eval_prec_recall":
+    if task == "eval_fid_clip":
+        from entrypoints_tpu.eval_fid_clip import main as m
+    elif task == "eval_prec_recall":
         from entrypoints_tpu.eval_prec_recall import main as m
-
-        return m(extra_args)
-    raise NotImplementedError(task)
+    elif task == "eval_hpsv2":
+        from entrypoints_tpu.eval_hpsv2 import main as m
+    else:
+        raise SystemExit(f"unknown eval task {task}")
+    return m(extra_args)
