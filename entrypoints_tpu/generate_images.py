@@ -45,6 +45,12 @@ def add_args(p):
     p.add_argument("--lantern-delta", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max-new", type=int, default=None)
+    p.add_argument("--total-tokens", type=int, default=59,
+                   help="draft-tree budget; -1 = autotune by timing the "
+                        "verify forward at candidate sizes (reference "
+                        "ea_model_llamagen.py:202-226)")
+    p.add_argument("--depth", type=int, default=4)
+    p.add_argument("--drafter-top-k", type=int, default=10)
 
 
 def load_prompts(args):
@@ -71,7 +77,9 @@ def build_session(args):
     task = "c2i" if args.labels is not None else "t2i"
     image_tokens = 1024 if args.model == "llamagen2" else 256
     cfg = configs.llamagen_config(args.model_size, task, image_tokens=image_tokens)
-    dcfg = configs.drafter_config(cfg, total_tokens=59, depth=4, top_k=10)
+    total = getattr(args, "total_tokens", 59)
+    dcfg = configs.drafter_config(cfg, total_tokens=max(total, 2),
+                                  depth=args.depth, top_k=args.drafter_top_k)
 
     if args.random_weights or args.base_path is None:
         use_drafter = args.model_type == "eagle"
@@ -93,9 +101,17 @@ def build_session(args):
 
 
 def run(args):
+    import dataclasses
+
     from PIL import Image
 
     sess = build_session(args)
+    if getattr(args, "total_tokens", 59) == -1 and sess.dcfg is not None:
+        from lantern_tpu.engine.autotune import autotune_total_tokens
+
+        best = autotune_total_tokens(sess.params, sess.cfg, verbose=True)
+        print(f"autotuned total_tokens={best}")
+        sess.dcfg = dataclasses.replace(sess.dcfg, total_tokens=best)
     prompts = load_prompts(args)
     os.makedirs(args.output_dir, exist_ok=True)
 

@@ -1,0 +1,221 @@
+"""Finetune data pipeline: JSONL meta-datasets + length-clustered sampling.
+
+TPU-native equivalent of the reference's xllmx data stack
+(models/base_models/lumina_mgpt/xllmx/data/dataset.py:22-160,
+sampler.py:14-214, data_reader.py): a meta-config lists several annotation
+files with a task ``type`` and sampling ``ratio``; the sampler builds
+per-host index streams where
+
+- every global batch contains items of a single task type,
+- items are length-clustered (sort by token length, then *mild-shuffle*
+  within a neighborhood) so padded batches waste little compute — on TPU
+  this directly reduces wasted MXU cycles on pad tokens,
+- batch order is shuffled per epoch with a deterministic seed,
+- iteration can resume mid-epoch from ``start_iter`` (checkpoint/resume).
+
+Host-side numpy only; batches feed jitted train steps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def read_jsonl(path: str) -> List[dict]:
+    items = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                items.append(json.loads(line))
+    return items
+
+
+def read_annotations(path: str) -> List[dict]:
+    if path.endswith(".jsonl"):
+        return read_jsonl(path)
+    with open(path) as f:
+        data = json.load(f)
+    if isinstance(data, dict):
+        data = data.get("annotations", data.get("data", []))
+    return list(data)
+
+
+class MetaDataset:
+    """Several annotation files behind one index space.
+
+    ``meta_config`` is a path to a JSON list (or the list itself) of entries
+    ``{"path": ..., "type": "text"|"image_text"|..., "ratio": 1.0}``
+    (reference dataset.py:47-96). Item token length is taken from a
+    ``len``/``num_tokens`` field when present, else ``len(item["tokens"])``,
+    else the whitespace token count of ``item["text"]``.
+    """
+
+    def __init__(self, meta_config):
+        if isinstance(meta_config, str):
+            base = os.path.dirname(os.path.abspath(meta_config))
+            with open(meta_config) as f:
+                metas = json.load(f)
+            for m in metas:
+                if not os.path.isabs(m["path"]):
+                    m["path"] = os.path.join(base, m["path"])
+        else:
+            metas = list(meta_config)
+        self.meta_collection: List[Dict] = []
+        self.items: List[dict] = []
+        for m in metas:
+            ann = read_annotations(m["path"])
+            self.meta_collection.append({
+                "type": m.get("type", "default"),
+                "ratio": float(m.get("ratio", 1.0)),
+                "len": len(ann),
+                "item_len_list": [self._item_len(a) for a in ann],
+            })
+            self.items.extend(ann)
+
+    @staticmethod
+    def _item_len(item: dict) -> int:
+        for key in ("len", "num_tokens", "length"):
+            if key in item:
+                return int(item[key])
+        if "tokens" in item:
+            return len(item["tokens"])
+        if "input_ids" in item:
+            return len(item["input_ids"])
+        if "text" in item:
+            return len(str(item["text"]).split())
+        return 1
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        return self.items[idx]
+
+
+def mild_shuffle(indices: Sequence[int], shuffle_factor: float,
+                 rng: np.random.Generator) -> List[int]:
+    """Shuffle each item within +-``shuffle_factor * len`` of its position.
+
+    Preserves the global length ordering approximately (reference
+    sampler.py:14-47) so neighboring batches stay similar in length while
+    batch composition still varies across epochs.
+    """
+    n = len(indices)
+    radius = max(1, int(n * shuffle_factor))
+    # noisy-key sort: |noise| <= radius bounds every displacement by 2*radius
+    keys = np.arange(n) + rng.uniform(-radius, radius, n)
+    return [indices[int(i)] for i in np.argsort(keys, kind="stable")]
+
+
+class LengthClusteredSampler:
+    """Per-host batch index iterator with single-type, length-clustered
+    global batches (reference FinetuneDistSampler, sampler.py:50-214)."""
+
+    def __init__(
+        self,
+        dataset: MetaDataset,
+        num_replicas: int,
+        rank: int,
+        batch_size: int,
+        acc_grad: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+        length_clustering: bool = True,
+        shuffle_factor: float = 0.05,
+    ):
+        if not (0 <= rank < num_replicas):
+            raise ValueError(f"invalid rank {rank} / {num_replicas}")
+        self.dataset = dataset
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.batch_size = batch_size
+        self.acc_grad = acc_grad
+        self.shuffle = shuffle
+        self.seed = seed
+        self.length_clustering = length_clustering
+        self.shuffle_factor = shuffle_factor
+        self.epoch = 0
+        self.start_iter = 0
+
+        global_bsz_acc = batch_size * num_replicas * acc_grad
+        total = 0
+        for m in dataset.meta_collection:
+            n = int(m["len"] * m["ratio"])
+            total += n // global_bsz_acc * global_bsz_acc
+        self.total_size = total
+        self.num_samples = total // num_replicas
+
+    def set_epoch(self, epoch: int, start_iter: int = 0):
+        self.epoch = epoch
+        self.start_iter = start_iter
+
+    def _global_batches(self) -> List[List[int]]:
+        gbs = self.batch_size * self.num_replicas
+        global_bsz_acc = gbs * self.acc_grad
+        rng = np.random.default_rng(self.seed + self.epoch)
+
+        groups: Dict[str, List[List[int]]] = {}
+        start = 0
+        for m in self.dataset.meta_collection:
+            idx_len = [[start + i, m["item_len_list"][i]]
+                       for i in range(m["len"])]
+            start += m["len"]
+            if m["ratio"] != 1.0:
+                keep = rng.choice(len(idx_len), int(m["len"] * m["ratio"]),
+                                  replace=False)
+                idx_len = [idx_len[int(i)] for i in keep]
+            groups.setdefault(m["type"], []).extend(idx_len)
+
+        batches: List[List[int]] = []
+        for _, idx_len in sorted(groups.items()):
+            idx_len = idx_len[: len(idx_len) // global_bsz_acc * global_bsz_acc]
+            if not idx_len:
+                continue
+            if self.shuffle and self.length_clustering:
+                idx_len.sort(key=lambda x: x[1])
+                indices = mild_shuffle([x[0] for x in idx_len],
+                                       self.shuffle_factor, rng)
+            elif self.shuffle:
+                indices = [x[0] for x in idx_len]
+                rng.shuffle(indices)
+            else:
+                indices = [x[0] for x in idx_len]
+            batches.extend(indices[i : i + gbs]
+                           for i in range(0, len(indices), gbs))
+        if self.shuffle:
+            # keep acc_grad-consecutive batches together so every
+            # accumulation window sees one task type
+            blocks = [batches[i : i + self.acc_grad]
+                      for i in range(0, len(batches), self.acc_grad)]
+            rng.shuffle(blocks)
+            batches = [b for blk in blocks for b in blk]
+        return batches
+
+    def __iter__(self) -> Iterator[List[int]]:
+        for it, batch in enumerate(self._global_batches()):
+            if it < self.start_iter:
+                continue
+            yield batch[self.rank * self.batch_size
+                        : (self.rank + 1) * self.batch_size]
+
+    def __len__(self):
+        return self.num_samples // self.batch_size
+
+
+def pad_batch(seqs: Sequence[Sequence[int]], pad_id: int = 0,
+              multiple: int = 128):
+    """Right-pad to the batch max rounded up to ``multiple`` (static-ish
+    shapes keep XLA recompiles to the handful of bucket sizes)."""
+    max_len = max(len(s) for s in seqs)
+    max_len = (max_len + multiple - 1) // multiple * multiple
+    out = np.full((len(seqs), max_len), pad_id, np.int32)
+    mask = np.zeros((len(seqs), max_len), np.bool_)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = s
+        mask[i, : len(s)] = True
+    return out, mask
