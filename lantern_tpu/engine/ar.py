@@ -83,3 +83,74 @@ def generate(
     init = Carry(kv=res.kv, tok=tok, out=jnp.zeros((max_new,), jnp.int32), rng=rng)
     fin = jax.lax.fori_loop(0, max_new, body, init)
     return ARResult(tokens=fin.out, kv=fin.kv)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new", "cfg_scale", "warp",
+                                   "logits_fn"))
+def generate_tokens(
+    params: dict,
+    cfg: ModelConfig,
+    token_prompt,              # engine.spec.TokenPrompt: [2, L] cond/uncond
+    max_new: int,
+    cfg_scale: float,
+    warp: LogitsWarp,
+    rng: jax.Array,
+    logits_mask: Optional[jnp.ndarray] = None,
+    logits_fn=None,
+    rope=None,
+) -> ARResult:
+    """Chameleon-family base-mode CFG AR loop over a token prompt.
+
+    Mirrors the reference's vanilla generates (modeling_anole_kv.py:1784-1837,
+    pristine Lumina ``_sample``, modeling_lumina_mgpt.py:1644-1793): the
+    cond/uncond rows carry their own position ids (the uncond branch restarts
+    near the image start), every step samples ONE token from the CFG-combined
+    logits and feeds it to both rows.  ``logits_mask`` suppresses non-image
+    tokens; ``logits_fn(logits [T,V], cond_positions)`` applies the Lumina
+    grid FSM.
+    """
+    if rope is None:
+        rope = tfm.make_rope_tables(cfg)
+    tp = token_prompt
+    L = tp.tokens.shape[1]
+
+    def warp_logits(logits, cond_pos):          # [2, 1, V], [1] -> [1, V]
+        logits = cfg_combine(logits, cfg_scale)[0]
+        if logits_mask is not None:
+            logits = jnp.where(logits_mask, jnp.finfo(jnp.float32).min, logits)
+        if logits_fn is not None:
+            logits = logits_fn(logits, cond_pos)
+        return logits
+
+    kv = KVCache.create(cfg, 2)
+    block = jnp.tril(jnp.ones((L, L), bool))[None] & tp.valid[:, None, :]
+    res = tfm.forward(
+        params, cfg, tfm.token_embed(params, tp.tokens), kv,
+        positions=tp.positions, rope=rope, block_mask=block,
+    )
+    pv = jnp.pad(tp.valid, ((0, 0), (0, kv.max_len - L)), constant_values=True)
+    logits = tfm.logits_head(params, res.hidden[:, -1:])          # [2, 1, V]
+    rng, r = jax.random.split(rng)
+    last_pos = tp.positions[:, -1]                                # [2]
+    tok = sample_token(r, warp_logits(logits, last_pos[:1]), warp)  # [1]
+
+    class Carry(NamedTuple):
+        kv: KVCache
+        tok: jnp.ndarray
+        out: jnp.ndarray
+        rng: jax.Array
+
+    def body(i, c: Carry):
+        out = c.out.at[i].set(c.tok[0])
+        emb = tfm.token_embed(params, jnp.broadcast_to(c.tok[:, None], (2, 1)))
+        pos = (last_pos + 1 + i)[:, None]                         # [2, 1]
+        res = tfm.forward(params, cfg, emb, c.kv, pos, rope, prefix_valid=pv)
+        logits = tfm.logits_head(params, res.hidden[:, -1:])
+        rng, r = jax.random.split(c.rng)
+        nxt = sample_token(r, warp_logits(logits, pos[0]), warp)
+        return Carry(kv=res.kv, tok=nxt, out=out, rng=rng)
+
+    init = Carry(kv=res.kv, tok=tok, out=jnp.zeros((max_new,), jnp.int32),
+                 rng=rng)
+    fin = jax.lax.fori_loop(0, max_new, body, init)
+    return ARResult(tokens=fin.out, kv=fin.kv)

@@ -205,6 +205,61 @@ class ChameleonSession:
     dparams: Optional[dict]
     family: str = "anole"            # "anole" | "lumina"
     grid: tuple = (32, 32)           # (h, w) latent grid (anole 512px: 32x32)
+    vq_cfg: Optional[vqgan.VQGANConfig] = None   # Chameleon (taming) VQGAN
+    vq_params: Optional[dict] = None
+    fsm_overrides: Optional[dict] = None  # LuminaGridFSM id overrides
+    #   (newline_id / image_end_id / image_lo / image_hi — small-vocab tests)
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        base_path: str,
+        cfg: ModelConfig,
+        drafter_path: Optional[str] = None,
+        dcfg: Optional[DrafterConfig] = None,
+        vq_path: Optional[str] = None,
+        nearest_path: Optional[str] = None,
+        family: str = "anole",
+        grid=(32, 32),
+    ) -> "ChameleonSession":
+        """Load HF Chameleon-family checkpoints (Anole-7b / Lumina-mGPT) +
+        optional EAGLE drafter, taming VQGAN, and LANTERN nearest table."""
+        from ..models import chameleon as cham
+        from ..ops.vq_distance import load_table
+        from ..utils import checkpoint as ckpt
+
+        sd = ckpt.load_torch_dir(base_path)
+        params = ckpt.chameleon_params_from_torch(sd, cfg)
+        dparams = None
+        if drafter_path is not None:
+            if dcfg is None:
+                dcfg = DrafterConfig(model=cfg)
+            dsd = ckpt.load_torch_dir(drafter_path)
+            dparams = ckpt.drafter_params_from_torch(dsd, dcfg,
+                                                     embed=params["embed"])
+        sess = cls(cfg=cfg, dcfg=dcfg, params=params, dparams=dparams,
+                   family=family, grid=grid)
+        if vq_path is not None:
+            sess.vq_cfg = vqgan.chameleon_vq_config()
+            sess.vq_params = vqgan.load_taming_state_dict(
+                ckpt.load_torch_file(vq_path), sess.vq_cfg)
+        if nearest_path is not None:
+            table = load_table(nearest_path)
+            params["nearest_latents"] = jnp.asarray(
+                cham.shift_nearest_table(np.asarray(table), cfg.vocab_size))
+        return sess
+
+    @property
+    def item_processor(self):
+        from ..models.item_processor import FlexARItemProcessor
+
+        return FlexARItemProcessor(vq_params=self.vq_params,
+                                   vq_cfg=self.vq_cfg)
+
+    def decode_ids(self, tokens):
+        """Generated stream -> (text token spans, decoded uint8 images)
+        (reference inference_solver.py:474-499)."""
+        return self.item_processor.decode_ids(list(np.asarray(tokens)))
 
     @classmethod
     def random(cls, cfg: ModelConfig, dcfg: Optional[DrafterConfig] = None,
@@ -262,16 +317,24 @@ class ChameleonSession:
         if self.family == "lumina":
             logits_fn = cham.LuminaGridFSM(
                 w=w, h=h, image_start_idx=int(tp.pos_diff),
-                vocab_size=cfg.vocab_size,
+                vocab_size=cfg.vocab_size, **(self.fsm_overrides or {}),
             )
             mask = None  # the FSM subsumes the static suppress mask
+        t0 = time.perf_counter()
+        if mode == "ar" or self.dparams is None:
+            res = ar.generate_tokens(
+                self.params, cfg, tp, max_new, cfg_scale, warp,
+                jax.random.key(seed), logits_mask=mask, logits_fn=logits_fn,
+            )
+            jax.block_until_ready(res.tokens)
+            dt = time.perf_counter() - t0
+            return np.asarray(res.tokens), GenStats(1.0, dt, max_new, max_new)
         ecfg = spec.SpecDecodeConfig(
             warp=warp, cfg_scale=cfg_scale,
             lantern=LanternSpec(k=lantern_k, delta=lantern_delta),
             max_new=max_new, mode=mode,
         )
         tspec = trees.get_tree(tree) if mode == "static" else None
-        t0 = time.perf_counter()
         res = spec.generate(
             self.params, self.dparams, ecfg, cfg, self.dcfg, tspec,
             None, None, jax.random.key(seed),

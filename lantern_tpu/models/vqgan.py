@@ -294,10 +294,14 @@ def encode(params: dict, cfg: VQGANConfig, images: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("cfg", "grid"))
-def decode_code(params: dict, cfg: VQGANConfig, codes: jnp.ndarray, grid: int) -> jnp.ndarray:
-    """codes [B, grid*grid] int32 -> images [B, grid*f, grid*f, 3]."""
+def decode_code(params: dict, cfg: VQGANConfig, codes: jnp.ndarray, grid) -> jnp.ndarray:
+    """codes [B, h*w] int32 -> images [B, h*f, w*f, 3].
+
+    ``grid`` is the latent grid: an int (square) or an (h, w) tuple —
+    Lumina-mGPT generates flexible-resolution rectangular grids."""
+    gh, gw = (grid, grid) if isinstance(grid, int) else grid
     cb = _norm_codebook(params, cfg)
-    z = cb[codes].reshape(codes.shape[0], grid, grid, cfg.codebook_dim)
+    z = cb[codes].reshape(codes.shape[0], gh, gw, cfg.codebook_dim)
     z = conv2d(params["post_quant_conv"], z)
     dec = params["decoder"]
     h = conv2d(dec["conv_in"], z)

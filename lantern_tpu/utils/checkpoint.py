@@ -112,6 +112,62 @@ def llamagen_params_from_torch(
     return params
 
 
+def chameleon_params_from_torch(
+    sd: Dict[str, np.ndarray], cfg: ModelConfig, prefix: str = "model.",
+    dtype=None,
+) -> dict:
+    """HF ChameleonForConditionalGeneration state dict -> params pytree.
+
+    Covers Anole-7b and Lumina-mGPT kv_variants (modeling_anole_kv.py:1598,
+    modeling_lumina_mgpt_kv.py:1553): LLaMA layout plus per-head QK-norm
+    (``self_attn.q_norm/k_norm`` with weight+bias, ChameleonLayerNorm —
+    modeling_anole_kv.py:274-291).  Lumina checkpoints store QK-norm params
+    repeated ``model_parallel_size`` times over a leading MP axis
+    (modeling_lumina_mgpt_kv.py:292-315); rank-0's slice is the canonical
+    copy and is reshaped to [heads, head_dim].
+    """
+    dt = dtype or cfg.jnp_dtype
+    L, nh, nkv, hd = cfg.num_layers, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    p = prefix
+
+    def S(fmt, transpose=False):
+        return _stack_layers(sd, p + fmt, L, transpose).astype(dt)
+
+    def qknorm(fmt, heads):
+        ws = []
+        for l in range(L):
+            w = np.asarray(sd[p + fmt.format(l)]).reshape(-1, hd)
+            if w.shape[0] < heads:
+                # Lumina stores one row per MP shard; each shard's gamma/beta
+                # is repeat-interleaved over its heads (lumina_mgpt_kv.py:308)
+                w = np.repeat(w, heads // w.shape[0], axis=0)
+            ws.append(w[:heads])
+        return jnp.asarray(np.stack(ws)).astype(dt)
+
+    layers = {
+        "attn_norm": S("layers.{}.input_layernorm.weight"),
+        "wq": S("layers.{}.self_attn.q_proj.weight", True),
+        "wk": S("layers.{}.self_attn.k_proj.weight", True),
+        "wv": S("layers.{}.self_attn.v_proj.weight", True),
+        "wo": S("layers.{}.self_attn.o_proj.weight", True),
+        "ffn_norm": S("layers.{}.post_attention_layernorm.weight"),
+        "w_gate": S("layers.{}.mlp.gate_proj.weight", True),
+        "w_up": S("layers.{}.mlp.up_proj.weight", True),
+        "w_down": S("layers.{}.mlp.down_proj.weight", True),
+    }
+    if cfg.qk_norm:
+        layers["q_norm_w"] = qknorm("layers.{}.self_attn.q_norm.weight", nh)
+        layers["q_norm_b"] = qknorm("layers.{}.self_attn.q_norm.bias", nh)
+        layers["k_norm_w"] = qknorm("layers.{}.self_attn.k_norm.weight", nkv)
+        layers["k_norm_b"] = qknorm("layers.{}.self_attn.k_norm.bias", nkv)
+    return {
+        "embed": jnp.asarray(sd[p + "embed_tokens.weight"]).astype(dt),
+        "layers": layers,
+        "norm": jnp.asarray(sd[p + "norm.weight"]).astype(dt),
+        "lm_head": jnp.asarray(sd["lm_head.weight"].T).astype(dt),
+    }
+
+
 def drafter_params_from_torch(
     sd: Dict[str, np.ndarray], dcfg: DrafterConfig,
     embed: Optional[jnp.ndarray] = None, dtype=None,
