@@ -224,12 +224,15 @@ def make_static_step(
     ctx: _Ctx,
 ):
     """One EAGLE-1 static-tree speculative step as a pure function."""
-    tree_indices = jnp.asarray(spec.tree_indices)
-    retrieve = jnp.asarray(spec.retrieve_indices)
-    attn_mask = jnp.asarray(spec.attn_mask)
-    depth_arr = jnp.asarray(spec.depth)
-    children = jnp.asarray(spec.children)
-    inlevel = jnp.asarray(spec.inlevel_rank)
+    # host numpy, not jnp: these become jaxpr constants when the step is
+    # traced; device-resident constants force a device->host readback during
+    # MLIR lowering (pathological over the remote-TPU tunnel)
+    tree_indices = np.asarray(spec.tree_indices)
+    retrieve = np.asarray(spec.retrieve_indices)
+    attn_mask = np.asarray(spec.attn_mask)
+    depth_arr = np.asarray(spec.depth)
+    children = np.asarray(spec.children)
+    inlevel = np.asarray(spec.inlevel_rank)
     sampling = ecfg.warp.active
 
     def step(state: SpecState) -> SpecState:

@@ -28,6 +28,7 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..configs import DrafterConfig
 from ..kv import KVCache
@@ -194,7 +195,7 @@ def draft_static(
         x = fuse_inputs(params, tokens, parent_hidden)
         T = tokens.shape[1]
         off = lvl.block_offset
-        lvl_mask = jnp.asarray(lvl.attn_mask)
+        lvl_mask = np.asarray(lvl.attn_mask)
         res = tfm.forward(
             params, dcfg.model, x, kv,
             positions=level_positions(d, T),

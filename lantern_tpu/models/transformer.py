@@ -47,13 +47,20 @@ NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 def make_rope_tables(cfg: ModelConfig):
+    """Rope cos/sin tables as HOST numpy arrays.
+
+    Deliberately not device arrays: callers often build these at trace time
+    inside jit, where a device-resident constant forces MLIR lowering to read
+    the buffer back host-side (jax _array_mlir_constant_handler) — a
+    pathological stall over this environment's remote-TPU tunnel.  Host
+    constants embed for free; XLA uploads them with the executable."""
     if cfg.rope_kind == "2d":
         cos, sin = rope_table_2d(
             cfg.grid_size, cfg.head_dim, cfg.rope_base, cfg.cls_token_num
         )
     else:
         cos, sin = rope_table_1d(cfg.max_seq_len, cfg.head_dim, cfg.rope_base)
-    return jnp.asarray(cos), jnp.asarray(sin)
+    return np.asarray(cos), np.asarray(sin)
 
 
 def init_params(rng: jax.Array, cfg: ModelConfig, dtype=None) -> dict:

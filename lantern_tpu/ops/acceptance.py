@@ -370,7 +370,8 @@ def stochastic_verify_tree(
 
         active = (~state.done) & (state.accept_len == i)
         gtp0 = jax.nn.softmax(warp_logits(node_logits[state.cur], warp), axis=-1)
-        kids = children[state.cur]                         # [C]
+        # jnp.take: children may be a host numpy constant (tracer index)
+        kids = jnp.take(children, state.cur, axis=0)       # [C]
         kid_tok = jnp.where(kids >= 0, tree_tokens[jnp.maximum(kids, 0)], -1)
         # sibling tokens are distinct for real drafters (sampled without
         # replacement per node); keep the reference's dedup for generality
@@ -382,7 +383,8 @@ def stochastic_verify_tree(
         )
         # drafter distribution row that sampled these children = the accepted
         # node's rank within the internal nodes of its level
-        lvl_row = node_level_row[state.cur] if multidraft else None
+        lvl_row = (jnp.take(node_level_row, state.cur, axis=0)
+                   if multidraft else None)
 
         class Carry(NamedTuple):
             gtp: jnp.ndarray

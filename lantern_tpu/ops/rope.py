@@ -61,9 +61,13 @@ def apply_rope_interleaved(
     x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, positions: jnp.ndarray
 ) -> jnp.ndarray:
     """x: [..., T, n_heads, head_dim]; positions: broadcastable to [..., T].
-    Rotates adjacent channel pairs (LlamaGen convention). Computed in f32."""
-    c = cos[positions][..., None, :]                         # [..., T, 1, hd/2]
-    s = sin[positions][..., None, :]
+    Rotates adjacent channel pairs (LlamaGen convention). Computed in f32.
+
+    ``cos``/``sin`` may be host numpy tables: ``jnp.take`` keeps them as
+    host-side jaxpr constants (a device-resident constant would force a
+    device->host readback during lowering — slow over a remote tunnel)."""
+    c = jnp.take(cos, positions, axis=0)[..., None, :]       # [..., T, 1, hd/2]
+    s = jnp.take(sin, positions, axis=0)[..., None, :]
     shape = x.shape
     xf = x.astype(jnp.float32).reshape(*shape[:-1], shape[-1] // 2, 2)
     x0, x1 = xf[..., 0], xf[..., 1]
@@ -75,8 +79,8 @@ def apply_rope_half(
     x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray, positions: jnp.ndarray
 ) -> jnp.ndarray:
     """x: [..., T, n_heads, head_dim]; rotate-half convention (HF Llama)."""
-    c = cos[positions][..., None, :]                         # [..., T, 1, hd]
-    s = sin[positions][..., None, :]
+    c = jnp.take(cos, positions, axis=0)[..., None, :]       # [..., T, 1, hd]
+    s = jnp.take(sin, positions, axis=0)[..., None, :]
     half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)

@@ -74,13 +74,17 @@ def main():
     # Sample sequences from the base (AR, CFG off for diversity) and record
     # teacher-forced hidden states: one forward gives both tokens' hidden and
     # the drafter targets.
-    @jax.jit
+    # NOTE: do not wrap in another jax.jit — ar.generate is already jitted,
+    # and jit-of-jit wedges this environment's remote-compile path.
     def sample_tokens(cond, uncond, rng):
         res = ar.generate(params, cfg, cond, uncond, T_img, 1.5, warp, rng)
         return res.tokens
 
+    # params MUST be an argument, not a closure capture: jit inlines captured
+    # device arrays as MLIR constants, and lowering then fetches all 1.5 GB
+    # of weights host-side through the tunnel (hangs for minutes).
     @jax.jit
-    def teacher(cond, tokens):
+    def teacher(params, cond, tokens):
         embeds = jnp.concatenate(
             [tfm.cond_embed(params, cfg, cond),
              tfm.token_embed(params, tokens)], axis=1,
@@ -89,8 +93,10 @@ def main():
         kv = KVCache.create(cfg, 1, max_len=T)
         return tfm.forward(params, cfg, embeds, kv, jnp.arange(T), rope).hidden
 
-    batches = []
-    H = cfg.hidden_size
+    # hidden-state traces stay ON DEVICE (the host<->device tunnel in this
+    # environment is slow; fetching/re-uploading ~2 MB x samples x epochs
+    # dominates otherwise).  Only the 1 KB token vectors come host-side.
+    tok_rows, hid_rows = [], []
     max_len = Tc - 1 + T_img
     for i in range(args.samples):
         key = jax.random.key(1000 + i)
@@ -98,20 +104,20 @@ def main():
                                  (1, Tc, cfg.caption_dim))
         uncond = params["cond"]["uncond"][None].astype(cond.dtype)
         toks = sample_tokens(cond, uncond, jax.random.fold_in(key, 1))
-        hid = teacher(cond, toks[None])[0]                  # [Tc+T, H]
-        # drafter stream: (token_{i+1}, hidden_i)
+        hid_rows.append(teacher(params, cond, toks[None])[0])       # [Tc+T, H]
         dr_tokens = np.zeros((max_len,), np.int32)
         dr_tokens[Tc - 1: Tc - 1 + T_img] = np.asarray(toks)
-        hidden = np.asarray(hid[:max_len], np.float32)
-        target = np.asarray(hid[1: max_len + 1], np.float32)
-        loss_mask = np.zeros((max_len,), np.float32)
-        loss_mask[Tc - 1: Tc - 2 + T_img] = 1.0
-        batches.append((dr_tokens, hidden, target, loss_mask))
-        if (i + 1) % 32 == 0:
+        tok_rows.append(dr_tokens)
+        if i == 0 or (i + 1) % 32 == 0:
             note(f"traces {i + 1}/{args.samples}")
+    hid_all = jnp.stack(hid_rows)                                   # [N, Tc+T, H]
+    del hid_rows
+    tok_all = np.stack(tok_rows)
+    loss_mask_row = np.zeros((max_len,), np.float32)
+    loss_mask_row[Tc - 1: Tc - 2 + T_img] = 1.0
 
     # ---- phase 2: drafter training -----------------------------------------
-    steps_per_epoch = max(len(batches) // args.bs, 1)
+    steps_per_epoch = max(args.samples // args.bs, 1)
     tcfg = dt.TrainConfig(
         lr=args.lr, p_w=0.1, noise="uniform", noise_std=0.1,
         warmup_steps=max(2, steps_per_epoch // 2),
@@ -121,17 +127,25 @@ def main():
     head = params["lm_head"]
     rng = np.random.default_rng(0)
     key = jax.random.key(7)
-    order = np.arange(len(batches))
+    order = np.arange(args.samples)
+
+    @jax.jit
+    def gather_batch(hid_all, idx):
+        rows = jnp.take(hid_all, idx, axis=0).astype(jnp.float32)
+        return rows[:, :max_len], rows[:, 1 : max_len + 1]
+
     for ep in range(args.epochs):
         rng.shuffle(order)
         agg = None
         for s in range(steps_per_epoch):
             idx = order[s * args.bs: (s + 1) * args.bs]
+            hidden, target = gather_batch(hid_all, jnp.asarray(idx))
             b = {
-                "tokens": jnp.asarray(np.stack([batches[j][0] for j in idx])),
-                "hidden": jnp.asarray(np.stack([batches[j][1] for j in idx])),
-                "target": jnp.asarray(np.stack([batches[j][2] for j in idx])),
-                "loss_mask": jnp.asarray(np.stack([batches[j][3] for j in idx])),
+                "tokens": jnp.asarray(tok_all[idx]),
+                "hidden": hidden,
+                "target": target,
+                "loss_mask": jnp.asarray(
+                    np.broadcast_to(loss_mask_row, (len(idx), max_len))),
                 "attn_valid": jnp.ones((len(idx), max_len), jnp.float32),
             }
             key, k = jax.random.split(key)

@@ -296,3 +296,35 @@ def test_tree_walk_equals_path_walk(nearest, seed, u, variant):
     got = np.asarray(jnp.asarray(toks)[np.asarray(path)[: int(alen) + 1]])
     np.testing.assert_array_equal(got, exp)
     np.testing.assert_allclose(np.asarray(dist), np.asarray(pd), rtol=2e-4, atol=1e-6)
+
+
+class TestKthLargest:
+    """Bit-search top-k threshold (sampling.kth_largest) vs sort oracle."""
+
+    def test_exact_vs_sort(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from lantern_tpu.ops.sampling import apply_top_k, kth_largest
+
+        rng = np.random.default_rng(0)
+        for trial in range(5):
+            x = (rng.normal(size=(5, 777)) * [0.1, 10, 1000, 1, 5][trial]
+                 ).astype(np.float32)
+            if trial == 2:
+                x[:, ::3] = -1.5          # heavy ties
+            if trial == 3:
+                x = -np.abs(x)            # all-negative
+            if trial == 4:
+                x[:, :50] = np.finfo(np.float32).min
+            for k in (1, 2, 137, 500, 776):
+                want = np.sort(x, axis=-1)[:, ::-1][:, k - 1 : k]
+                got = np.asarray(kth_largest(jnp.asarray(x), k))
+                np.testing.assert_array_equal(got, want,
+                                              err_msg=f"t={trial} k={k}")
+        # masking path equivalence at the bench operating point (top-2000)
+        x = rng.normal(size=(3, 16384)).astype(np.float32)
+        a = np.asarray(apply_top_k(jnp.asarray(x), 2000))
+        kth = np.sort(x, axis=-1)[:, ::-1][:, 1999:2000]
+        b = np.where(x < kth, np.finfo(np.float32).min, x)
+        np.testing.assert_array_equal(a, b)
