@@ -137,6 +137,46 @@ def main():
     toks_per_s = IMAGE_TOKENS / t_spec
     ar_toks_per_s = IMAGE_TOKENS / t_ar
     sc = float(sres.accept_sum) / max(1.0, float(sres.steps))
+
+    # --- continuous-batching throughput (the serving-engine multiplier) ---
+    # Guarded: the batched number is a bonus metric; any failure here (e.g.
+    # a remote-compile tunnel hiccup) must not lose the headline JSON line.
+    batched_tps = None
+    R = int(os.environ.get("BENCH_SLOTS", 8))
+    try:
+        if R > 1:
+            from lantern_tpu.engine.batch import BatchedEngine
+
+            ecfg_b = spec.SpecDecodeConfig(
+                warp=warp, cfg_scale=3.0, lantern=LanternSpec(k=LK, delta=LD),
+                max_new=IMAGE_TOKENS, mode="static",
+            )
+            eng = BatchedEngine(ecfg_b, cfg, dcfg, tree, params, dparams,
+                                num_slots=R)
+
+            def run_batched(seed):
+                reqs = [eng.prefill(cond, uncond, jax.random.key(seed + i))
+                        for i in range(R)]
+                batch = eng.empty_batch(reqs[0])
+                for i, r in enumerate(reqs):
+                    batch = eng.insert(batch, i, r)
+                while True:
+                    for _ in range(16):
+                        batch = eng.step(batch)
+                    n_new, _, _ = eng.slot_status(batch)
+                    if (n_new >= IMAGE_TOKENS).all():
+                        return batch
+
+            run_batched(700)
+            note(f"batched engine compiled (R={R})")
+            t0 = time.perf_counter()
+            run_batched(900)
+            t_batched = time.perf_counter() - t0
+            batched_tps = R * IMAGE_TOKENS / t_batched
+            note(f"batched: {batched_tps:.1f} tok/s over {R} slots")
+    except Exception as e:  # noqa: BLE001
+        note(f"batched phase skipped: {type(e).__name__}: {e}")
+        batched_tps = None
     out = {
         "metric": (
             f"image_tokens_per_s_per_chip (LlamaGen-{size} t2i 256tok, "
@@ -153,6 +193,9 @@ def main():
             "step_compression_strict": round(
                 float(st.accept_sum) / max(1.0, float(st.steps)), 3),
             "verify_steps_per_s": round(float(sres.steps) / t_spec, 2),
+            "batched_tokens_per_s": (round(batched_tps, 2)
+                                     if batched_tps else None),
+            "batched_slots": R if batched_tps else None,
             "backend": jax.default_backend(),
         },
     }

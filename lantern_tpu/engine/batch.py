@@ -72,16 +72,24 @@ class BatchedEngine:
         self._batched_step = jax.jit(jax.vmap(one_step))
         self._insert = jax.jit(self._insert_impl)
 
+        # prefill must be jitted: run eagerly it dispatches hundreds of ops
+        # one-by-one (pathological over a remote-TPU tunnel)
+        def prefill_fn(params, dparams, cond, uncond, rng, prefix_valid,
+                       token_prompt):
+            return spec_engine.prefill_request(
+                params, dparams, ecfg, cfg, dcfg, tree, cond, uncond, rng,
+                prefix_valid=prefix_valid, token_prompt=token_prompt,
+                logits_mask=logits_mask, logits_fn=logits_fn,
+            )
+
+        self._prefill_jit = jax.jit(prefill_fn)
+
     # ------------------------------------------------------------------
     def prefill(self, cond, uncond, rng, token_prompt: Optional[TokenPrompt] = None,
                 prefix_valid=None):
         """Prefill one request -> (SpecState, prefix_valid, pos_offsets)."""
-        return spec_engine.prefill_request(
-            self.params, self.dparams, self.ecfg, self.cfg, self.dcfg,
-            self.tree, cond, uncond, rng,
-            prefix_valid=prefix_valid, token_prompt=token_prompt,
-            logits_mask=self.logits_mask, logits_fn=self.logits_fn,
-        )
+        return self._prefill_jit(self.params, self.dparams, cond, uncond,
+                                 rng, prefix_valid, token_prompt)
 
     def empty_batch(self, proto):
         """Replicate a prototype request R times, marked finished (n_new past
