@@ -47,15 +47,19 @@ class BatchedEngine:
 
     def __post_init__(self):
         ecfg, cfg, dcfg, tree = self.ecfg, self.cfg, self.dcfg, self.tree
-        params, dparams = self.params, self.dparams
         rope = tfm.make_rope_tables(cfg)
         drope = tfm.make_rope_tables(dcfg.model)
-        nearest = params.get("nearest_latents")
         logits_mask, logits_fn = self.logits_mask, self.logits_fn
 
-        def one_step(state: SpecState, prefix_valid, pos_offsets):
+        # params/dparams must be jit ARGUMENTS, not closure captures: captured
+        # arrays are lowered as inline dense constants, and a full model's
+        # weights blow the HLO up to gigabytes (which also kills remote-compile
+        # tunnels); as arguments they lower as parameters
+        def one_step(params, dparams, state: SpecState, prefix_valid,
+                     pos_offsets):
             ctx = _Ctx(params=params, dparams=dparams, rope=rope, drope=drope,
-                       nearest=nearest, prefix_valid=prefix_valid,
+                       nearest=params.get("nearest_latents"),
+                       prefix_valid=prefix_valid,
                        pos_offsets=pos_offsets, logits_mask=logits_mask,
                        logits_fn=logits_fn)
             if ecfg.mode == "static":
@@ -64,13 +68,29 @@ class BatchedEngine:
                 f = spec_engine.make_dynamic_step(ecfg, cfg, dcfg, ctx)
             active = state.n_new < ecfg.max_new
             new_state = f(state)
-            # freeze finished slots (scalar predicate broadcasts over leaves)
-            return jax.tree.map(
+            # Freeze finished slots — but ONLY the cheap leaves.  A tree-wide
+            # select would copy the multi-GB KV buffers every step; instead the
+            # KV *lengths* freeze (so a finished slot's committed prefix is
+            # never touched: steps only write provisional rows at/past length,
+            # which attention masks out) while the buffers themselves stay
+            # donated scribble space until the scheduler drains the slot.
+            frozen = jax.tree.map(
                 lambda a, b: jnp.where(active, b, a), state, new_state
             )
+            return frozen._replace(
+                base_kv=dataclasses.replace(
+                    new_state.base_kv, length=frozen.base_kv.length),
+                draft_kv=dataclasses.replace(
+                    new_state.draft_kv, length=frozen.draft_kv.length),
+            )
 
-        self._batched_step = jax.jit(jax.vmap(one_step))
-        self._insert = jax.jit(self._insert_impl)
+        # donate the batch state: KV buffers update in place instead of
+        # allocating + copying fresh outputs every step
+        self._batched_step = jax.jit(
+            jax.vmap(one_step, in_axes=(None, None, 0, 0, 0)),
+            donate_argnums=(2,),
+        )
+        self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
 
         # prefill must be jitted: run eagerly it dispatches hundreds of ops
         # one-by-one (pathological over a remote-TPU tunnel)
@@ -122,7 +142,8 @@ class BatchedEngine:
 
     def step(self, batch):
         bstate, bpv, boffs = batch
-        return (self._batched_step(bstate, bpv, boffs), bpv, boffs)
+        return (self._batched_step(self.params, self.dparams, bstate, bpv,
+                                   boffs), bpv, boffs)
 
     # -- host-side convenience ------------------------------------------
     def slot_status(self, batch):
