@@ -58,7 +58,10 @@ class ModelConfig:
     # live KV prefix from HBM (ops/pallas/tree_attention.py); dense attends
     # over the whole static cache with masks.  The drafter's multi-block
     # provisional masks always use the dense path.
-    use_flash_attention: bool = False
+    # pallas flash tree-attention on TPU (ops/pallas/tree_attention.py);
+    # forward() falls back to the dense path off-TPU or when the geometry
+    # doesn't fit the kernel (GQA, non-128 group width, custom visibility)
+    use_flash_attention: bool = True
 
     # budget
     max_seq_len: int = 2048

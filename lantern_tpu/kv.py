@@ -2,9 +2,18 @@
 
 Design (vs the reference's host-managed cache, models/drafters/kv_cache.py):
 
-- One pair of HBM buffers for all layers: ``k, v: [L, B, S, n_kv, head_dim]``
-  with a traced int32 ``length`` carried through the jitted decode loop —
-  no CPU-resident lengths, no host syncs.
+- One pair of HBM buffers for all layers in **head-group-major layout**
+  ``k, v: [L, B, G, S, W]`` with a traced int32 ``length`` carried through
+  the jitted decode loop — no CPU-resident lengths, no host syncs.
+- **Layout**: TPU tiling wants a 128-lane minor dimension.  ``W = 128``
+  lanes pack ``pk = 128 // head_dim`` consecutive kv-heads per *group*
+  (``G = n_kv * head_dim / W`` groups); position ``s`` of group ``g`` holds
+  ``[head_{g*pk}(s) | ... | head_{g*pk+pk-1}(s)]``.  This makes the flash
+  tree-attention kernel's per-(batch, group) DMA slices ``[blk, 128]``
+  perfectly tiled with **zero transposes of the cache** — the hot path
+  streams the buffer exactly as stored.  Models whose ``n_kv * head_dim``
+  isn't a multiple of 128 (tiny test configs) fall back to one head per
+  group (``W = head_dim``) and take the dense attention path.
 - **Append** writes a fixed-size [T]-token block at ``length`` via
   dynamic_update_slice.  Speculative tree blocks are written the same way;
   rows past the accepted prefix become garbage that is (a) invisible to
@@ -15,8 +24,8 @@ Design (vs the reference's host-managed cache, models/drafters/kv_cache.py):
   ``KVCache.copy`` / update_inference_inputs (ea_model_llamagen.py:960-970)
   but as one fused gather + fixed-size write per layer under jit.
 
-Sharding: shard ``n_kv`` over the tensor-parallel mesh axis and ``B`` over
-data; ``length`` is replicated.
+Sharding: shard ``G`` (head groups) over the tensor-parallel mesh axis and
+``B`` over data; ``length`` is replicated.
 """
 
 from __future__ import annotations
@@ -29,6 +38,40 @@ import jax.numpy as jnp
 
 from .configs import ModelConfig
 
+GRP = 128   # lane-group width (TPU minor-dim tile)
+
+
+def group_dims(n_kv: int, head_dim: int) -> tuple[int, int]:
+    """(G, W): number of head groups and group width for the cache layout."""
+    if GRP % head_dim == 0 and (n_kv * head_dim) % GRP == 0:
+        return n_kv * head_dim // GRP, GRP
+    return n_kv, head_dim
+
+
+def group_blocks(blocks: jnp.ndarray) -> jnp.ndarray:
+    """[..., T, n_kv, hd] new-block K/V -> grouped [..., G, T, W]."""
+    *lead, T, nkv, hd = blocks.shape
+    G, W = group_dims(nkv, hd)
+    x = blocks.reshape(*lead, T, G, W)
+    return jnp.moveaxis(x, -2, -3)
+
+
+def ungroup_cache(buf: jnp.ndarray, n_kv: int, head_dim: int) -> jnp.ndarray:
+    """[..., G, S, W] cache -> [..., S, n_kv, hd] (dense-path fallback)."""
+    *lead, G, S, W = buf.shape
+    pk = W // head_dim
+    x = buf.reshape(*lead, G, S, pk, head_dim)
+    x = jnp.moveaxis(x, -4, -3)                      # [..., S, G, pk, hd]
+    return x.reshape(*lead, S, n_kv, head_dim)
+
+
+def group_cache(buf: jnp.ndarray, head_dim: int | None = None) -> jnp.ndarray:
+    """[..., S, n_kv, hd] -> grouped [..., G, S, W] (tests / loaders)."""
+    *lead, S, nkv, hd = buf.shape
+    G, W = group_dims(nkv, hd)
+    x = buf.reshape(*lead, S, G, W)
+    return jnp.moveaxis(x, -2, -3)
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -37,20 +80,25 @@ from .configs import ModelConfig
 )
 @dataclasses.dataclass
 class KVCache:
-    k: jnp.ndarray        # [L, B, S, n_kv, head_dim]
-    v: jnp.ndarray        # [L, B, S, n_kv, head_dim]
+    k: jnp.ndarray        # [L, B, G, S, W]
+    v: jnp.ndarray        # [L, B, G, S, W]
     length: jnp.ndarray   # int32 scalar: valid prefix length
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
+
+    @property
+    def group_width(self) -> int:
+        return self.k.shape[4]
 
     @staticmethod
     def create(cfg: ModelConfig, batch: int, max_len: int | None = None, dtype=None) -> "KVCache":
         S = max_len or cfg.max_seq_len
         S = -(-S // 128) * 128     # pad to the flash kernel's block granularity
         dt = dtype or cfg.jnp_dtype
-        shape = (cfg.num_layers, batch, S, cfg.num_kv_heads, cfg.head_dim)
+        G, W = group_dims(cfg.num_kv_heads, cfg.head_dim)
+        shape = (cfg.num_layers, batch, G, S, W)
         return KVCache(
             k=jnp.zeros(shape, dt),
             v=jnp.zeros(shape, dt),
@@ -72,9 +120,11 @@ class KVCache:
         overwrite it."""
         T = k_new.shape[2]
         z = jnp.zeros((), jnp.int32)
-        start = (z, z, self.length + jnp.asarray(offset, jnp.int32), z, z)
-        k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype), start)
-        v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype), start)
+        start = (z, z, z, self.length + jnp.asarray(offset, jnp.int32), z)
+        kg = group_blocks(k_new).astype(self.k.dtype)     # [L, B, G, T, W]
+        vg = group_blocks(v_new).astype(self.v.dtype)
+        k = jax.lax.dynamic_update_slice(self.k, kg, start)
+        v = jax.lax.dynamic_update_slice(self.v, vg, start)
         length = self.length + (T if advance else 0)
         return KVCache(k=k, v=v, length=jnp.asarray(length, jnp.int32))
 
@@ -94,12 +144,12 @@ class KVCache:
         are masked out by attention and later overwritten.
         """
         abs_idx = self.length + jnp.clip(rel_indices, 0)      # [A]
+        z = jnp.zeros((), jnp.int32)
+
         def fix(buf):
-            rows = jnp.take(buf, abs_idx, axis=2)             # [L, B, A, nk, hd]
+            rows = jnp.take(buf, abs_idx, axis=3)             # [L, B, G, A, W]
             return jax.lax.dynamic_update_slice(
-                buf, rows,
-                (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), self.length,
-                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+                buf, rows, (z, z, z, self.length, z),
             )
         return KVCache(
             k=fix(self.k), v=fix(self.v),

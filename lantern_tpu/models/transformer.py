@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import ModelConfig
-from ..kv import KVCache
+from ..kv import GRP, KVCache, ungroup_cache
 from ..ops.rope import (
     apply_rope_half,
     apply_rope_interleaved,
@@ -239,7 +239,8 @@ def forward(
     # covered by standalone interpret tests
     use_flash = (
         cfg.use_flash_attention and prefix_override is None and nkv == nh
-        and S % 128 == 0 and jax.default_backend() == "tpu"
+        and S % 128 == 0 and kv.group_width == GRP
+        and jax.default_backend() == "tpu"
     )
     if use_flash:
         from ..ops.pallas.tree_attention import tree_attention
@@ -265,7 +266,7 @@ def forward(
     lp = params["layers"]
 
     def layer(h, xs):
-        idx, w, k_cache, v_cache = xs   # k_cache/v_cache: [B, S, nkv, hd]
+        idx, w, k_cache, v_cache = xs   # k_cache/v_cache: [B, G, S, W] grouped
         # swin (post-norm) ordering: h += norm(attn(h)); h += norm(mlp(h))
         # (modeling_anole_kv.py:787-806); default is pre-norm LLaMA ordering.
         if cfg.swin_norm:
@@ -286,18 +287,21 @@ def forward(
         k = apply_rope(k, cos, sin, positions)
 
         if use_flash:
+            # grouped cache streams straight into the kernel — no transpose
             o = tree_attention(
                 q, k, v, k_cache, v_cache, kv.length, bm_raw, p_bias, scale,
             ).astype(h.dtype)
         else:
+            k_cache_u = ungroup_cache(k_cache, nkv, hd)   # [B, S, nkv, hd]
+            v_cache_u = ungroup_cache(v_cache, nkv, hd)
             if nkv != nh:
                 rep = nh // nkv
-                k_cache_h = jnp.repeat(k_cache, rep, axis=2)
-                v_cache_h = jnp.repeat(v_cache, rep, axis=2)
+                k_cache_h = jnp.repeat(k_cache_u, rep, axis=2)
+                v_cache_h = jnp.repeat(v_cache_u, rep, axis=2)
                 k_h = jnp.repeat(k, rep, axis=2)
                 v_h = jnp.repeat(v, rep, axis=2)
             else:
-                k_cache_h, v_cache_h, k_h, v_h = k_cache, v_cache, k, v
+                k_cache_h, v_cache_h, k_h, v_h = k_cache_u, v_cache_u, k, v
 
             s_pre = jnp.einsum(
                 "btnh,bsnh->bnts", q, k_cache_h, preferred_element_type=jnp.float32

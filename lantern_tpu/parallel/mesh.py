@@ -81,10 +81,11 @@ def drafter_param_specs(dparams: dict) -> dict:
 
 
 def kv_specs(cfg: ModelConfig, mesh: Mesh):
-    """KVCache [L, B, S, nk, hd]: kv-heads over tp, batch over dp."""
-    heads_ok = _divisible(cfg.num_kv_heads, mesh)
-    spec = P(None, None, None, TP if heads_ok else None, None)
-    from ..kv import KVCache
+    """KVCache [L, B, G, S, W]: head groups over tp, batch over dp."""
+    from ..kv import KVCache, group_dims
+    G, _ = group_dims(cfg.num_kv_heads, cfg.head_dim)
+    groups_ok = _divisible(G, mesh)
+    spec = P(None, None, TP if groups_ok else None, None, None)
     return KVCache(k=spec, v=spec, length=P())  # type: ignore[arg-type]
 
 

@@ -26,12 +26,20 @@ def make_case(seed, B=2, T=16, nh=4, hd=64, S=512, length=137):
             jnp.asarray(mask), jnp.asarray(bias))
 
 
+def _grouped(args):
+    """Kernel variant of the dense-reference args: caches in the storage
+    layout (head-group-major, see kv.group_cache)."""
+    from lantern_tpu.kv import group_cache
+    q, kn, vn, kc, vc, *rest = args
+    return (q, kn, vn, group_cache(kc), group_cache(vc), *rest)
+
+
 @pytest.mark.parametrize("length", [0, 1, 120, 137, 256, 512])
 def test_kernel_matches_dense(length):
     args = make_case(0, length=length)
     scale = 64 ** -0.5
     ref = ta.tree_attention_reference(*args, scale)
-    got = ta.tree_attention(*args, scale, blk=128, interpret=True)
+    got = ta.tree_attention(*_grouped(args), scale, blk=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
 
@@ -44,30 +52,52 @@ def test_kernel_bf16(seed=3):
     )
     scale = 64 ** -0.5
     ref = ta.tree_attention_reference(*args, scale)
-    got = ta.tree_attention(*args, scale, blk=128, interpret=True)
+    got = ta.tree_attention(*_grouped(args), scale, blk=128, interpret=True)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         rtol=3e-2, atol=3e-2,
     )
 
 
+def test_kernel_per_row_lengths():
+    """[B] lengths (batched-engine slots) match per-row dense reference."""
+    args = make_case(5, length=0)
+    q, kn, vn, kc, vc, _, mask, bias = args
+    lens = jnp.asarray([137, 64], jnp.int32)
+    scale = 64 ** -0.5
+    ref = ta.tree_attention_reference(q, kn, vn, kc, vc, lens, mask, bias, scale)
+    got = ta.tree_attention(*_grouped((q, kn, vn, kc, vc)), lens, mask, bias,
+                            scale, blk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="flash path active only on TPU (see forward)")
 def test_flash_forward_matches_dense_forward():
     """forward(use_flash_attention=True) must match the dense forward for
-    prefill, decode, and tree blocks."""
+    prefill, decode, and tree blocks.
+
+    Geometry: hidden 128 / 2 heads -> head_dim 64, n_kv*hd = 128, so the
+    cache groups to (G=1, W=128) and the REAL pallas kernel engages (the
+    default tiny config's 16-wide heads would silently fall back to dense).
+    Tolerance is MXU-precision-bounded: the dense path itself moves ~7e-4
+    between default and 'highest' matmul precision on TPU.
+    """
     from lantern_tpu import configs, trees
-    from lantern_tpu.kv import KVCache
+    from lantern_tpu.kv import GRP, KVCache
     from lantern_tpu.models import transformer as tfm
 
-    cfg = configs.tiny_config(cond_kind="label", block_size=16, max_seq_len=128)
+    cfg = configs.tiny_config(hidden_size=128, num_heads=2, cond_kind="label",
+                              block_size=16, max_seq_len=128)
     fcfg = cfg.replace(use_flash_attention=True)
+    assert KVCache.create(fcfg, 1).group_width == GRP   # kernel really engages
     params = tfm.init_params(jax.random.key(0), cfg)
     rope = tfm.make_rope_tables(cfg)
-    rng = np.random.default_rng(0)
 
     def run(c):
         kv = KVCache.create(c, 2)
+        rng = np.random.default_rng(0)
         emb = jnp.asarray(rng.normal(size=(2, 1, c.hidden_size)).astype(np.float32))
         outs = []
         r = tfm.forward(params, c, emb, kv, jnp.arange(1), rope)
@@ -84,9 +114,7 @@ def test_flash_forward_matches_dense_forward():
         outs.append(np.asarray(r.hidden))
         return outs
 
-    rng = np.random.default_rng(0)
-    dense = run(cfg)
-    rng = np.random.default_rng(0)
+    dense = run(cfg.replace(use_flash_attention=False))
     flash = run(fcfg)
     for i, (a, b) in enumerate(zip(dense, flash)):
-        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-5, err_msg=f"stage {i}")
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3, err_msg=f"stage {i}")
