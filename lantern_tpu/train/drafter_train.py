@@ -82,11 +82,15 @@ def drafter_teacher_forward(
     """Teacher-forced causal drafter forward over full sequences (no cache
     reuse — training batches are independent)."""
     B, T = tokens.shape
-    kv = KVCache.create(dcfg.model, B, max_len=T)
+    # dense attention only: this forward sits under value_and_grad and the
+    # pallas flash kernel has no autodiff rule (training is full-sequence
+    # causal anyway, where dense is the right choice)
+    mcfg = dcfg.model.replace(use_flash_attention=False)
+    kv = KVCache.create(mcfg, B, max_len=T)
     x = drf.fuse_inputs(dparams, tokens, hidden)
     block = jnp.tril(jnp.ones((T, T), bool))[None] & attn_valid[:, None, :].astype(bool)
     res = tfm.forward(
-        dparams, dcfg.model, x, kv, jnp.arange(T), rope,
+        dparams, mcfg, x, kv, jnp.arange(T), rope,
         block_mask=block, commit=False,
     )
     return res.hidden
