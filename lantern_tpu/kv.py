@@ -35,10 +35,37 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax._src.interpreters import ad as _ad
+from jax._src.interpreters import batching as _batching
 
 from .configs import ModelConfig
+from .ops.pallas import kv_update as _kvu
 
 GRP = 128   # lane-group width (TPU minor-dim tile)
+
+# In-place pallas write path.  "auto": use the aliased DMA kernel on TPU when
+# shapes allow (XLA's dynamic_update_slice copies the full multi-GB buffer per
+# step; the kernel moves ~3x the block instead).  "never": always
+# dynamic_update_slice.  "interpret": force the kernel in pallas interpret
+# mode (CPU tests).  The kernel has no batching or autodiff rule, so vmapped
+# (engine/batch.py) and grad (train) callers fall back automatically; sharded
+# multi-chip caches should go through shard_map before enabling this.
+PALLAS_WRITE = "auto"
+
+
+def _pallas_write_ok(cache: "KVCache", *new) -> tuple[bool, bool]:
+    """(use_kernel, interpret) for this call site."""
+    if PALLAS_WRITE == "never":
+        return False, False
+    interpret = PALLAS_WRITE == "interpret"
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        return False, False
+    for a in (cache.k, cache.v, cache.length, *new):
+        if isinstance(a, (_batching.BatchTracer, _ad.JVPTracer, _ad.LinearizeTracer)):
+            return False, False
+    if not _kvu.supports(cache.k.shape, new[0].shape):
+        return False, False
+    return True, interpret
 
 
 def group_dims(n_kv: int, head_dim: int) -> tuple[int, int]:
@@ -119,12 +146,16 @@ class KVCache:
         attention sees it via an explicit block mask, and later writes
         overwrite it."""
         T = k_new.shape[2]
-        z = jnp.zeros((), jnp.int32)
-        start = (z, z, z, self.length + jnp.asarray(offset, jnp.int32), z)
         kg = group_blocks(k_new).astype(self.k.dtype)     # [L, B, G, T, W]
         vg = group_blocks(v_new).astype(self.v.dtype)
-        k = jax.lax.dynamic_update_slice(self.k, kg, start)
-        v = jax.lax.dynamic_update_slice(self.v, vg, start)
+        s = self.length + jnp.asarray(offset, jnp.int32)
+        use_kernel, interpret = _pallas_write_ok(self, kg, vg)
+        if use_kernel:
+            k, v = _kvu.write_block(self.k, self.v, kg, vg, s, interpret=interpret)
+        else:
+            z = jnp.zeros((), jnp.int32)
+            k = jax.lax.dynamic_update_slice(self.k, kg, (z, z, z, s, z))
+            v = jax.lax.dynamic_update_slice(self.v, vg, (z, z, z, s, z))
         length = self.length + (T if advance else 0)
         return KVCache(k=k, v=v, length=jnp.asarray(length, jnp.int32))
 
@@ -145,13 +176,18 @@ class KVCache:
         """
         abs_idx = self.length + jnp.clip(rel_indices, 0)      # [A]
         z = jnp.zeros((), jnp.int32)
-
-        def fix(buf):
-            rows = jnp.take(buf, abs_idx, axis=3)             # [L, B, G, A, W]
-            return jax.lax.dynamic_update_slice(
-                buf, rows, (z, z, z, self.length, z),
+        k_rows = jnp.take(self.k, abs_idx, axis=3)            # [L, B, G, A, W]
+        v_rows = jnp.take(self.v, abs_idx, axis=3)
+        use_kernel, interpret = _pallas_write_ok(self, k_rows, v_rows)
+        if use_kernel:
+            k, v = _kvu.write_block(
+                self.k, self.v, k_rows, v_rows, self.length, interpret=interpret
             )
+        else:
+            at = (z, z, z, self.length, z)
+            k = jax.lax.dynamic_update_slice(self.k, k_rows, at)
+            v = jax.lax.dynamic_update_slice(self.v, v_rows, at)
         return KVCache(
-            k=fix(self.k), v=fix(self.v),
+            k=k, v=v,
             length=self.length + jnp.asarray(accept_count, jnp.int32),
         )

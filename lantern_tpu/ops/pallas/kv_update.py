@@ -1,0 +1,159 @@
+"""In-place KV-cache block writes as an aliased pallas DMA kernel.
+
+Why this exists: the cache update is logically
+``buf[:, :, :, start:start+T, :] = new`` at a *traced* offset.  Expressed as
+``lax.dynamic_update_slice`` XLA materializes a full-buffer copy (measured:
+the copy cost tracks the buffer size, not the block size), which at the
+bench's XL geometry costs ~5 ms/step at batch 16 — 60x the bytes actually
+written.  This kernel pins the semantics instead: the buffer is an
+``input_output_aliases`` operand (guaranteed in-place) and only a
+``T+ALIGN``-row window around the write moves through VMEM.
+
+Mosaic constraint that shapes the design: an HBM memref slice on the
+sublane dim must start at a *provably* tile-aligned index, but ``start`` is
+an arbitrary runtime value (the KV length after an arbitrary accept).  So
+the kernel writes the aligned window ``[s0a, s0a + T + ALIGN)`` with
+``s0a = align_down(start)`` (hinted via ``pl.multiple_of``) and
+read-modify-writes it: old window -> VMEM, new block rolled down by
+``start - s0a`` rows (``pltpu.roll`` takes a dynamic shift), rows inside
+``[start, start+T)`` replaced, window DMA'd back.  Bytes moved ≈ 3x the
+block, independent of the buffer size.
+
+Used by ``kv.KVCache.write`` (tree/provisional block append) and
+``kv.KVCache.accept_path`` (rollback compaction: gather accepted rows with a
+cheap XLA take, then write them back here) — the reference's
+``KVCache.cat`` / ``KVCache.copy`` (kv_cache.py:38-66) as true in-place HBM
+ops instead of torch narrow/copy_.
+
+Layout contract matches kv.py: ``buf [L, B, G, S, W]``, ``new
+[L, B, G, T, W]``, both the same dtype; ``start`` is a traced int32 scalar
+with ``start + T <= S``.  T is arbitrary (padded internally; the pad rows
+are masked out of the write).  Static requirements: ``S % ALIGN == 0``,
+``S >= align_up(T) + ALIGN``, ``W % 128 == 0`` (see ``supports``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALIGN = 16          # sublane tile rows (bf16 packing: (16, 128) tiles)
+_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def supports(buf_shape, new_shape) -> bool:
+    """Whether the kernel's static constraints hold for these shapes."""
+    L, B, G, S, W = buf_shape
+    T = new_shape[-2]
+    Tp = -(-T // ALIGN) * ALIGN
+    return W % 128 == 0 and S % ALIGN == 0 and S >= Tp + ALIGN
+
+
+def _make_kernel(B, G, S, W, Tp, T_logical, bb):
+    Tw = Tp + ALIGN
+
+    def _kernel(start_ref, kn, vn, kin, vin, kout, vout, scr_o, scr_n, sem_o, sem_n):
+        l = pl.program_id(0)
+        b0 = pl.program_id(1) * bb
+        start = start_ref[0]
+        s0a = jnp.minimum((start // ALIGN) * ALIGN, S - Tw)
+        s0a = pl.multiple_of(s0a, ALIGN)
+        off = start - s0a
+        rows = lax.broadcasted_iota(jnp.int32, (bb, G, Tw, W), 2)
+        # mask by the *logical* block: pad rows [T_logical, Tp) never land, so
+        # callers need no headroom past start + T_logical in the buffer
+        in_blk = (rows >= off) & (rows < off + T_logical)
+        for n_ref, in_ref, out_ref in ((kn, kin, kout), (vn, vin, vout)):
+            window = (l, pl.ds(b0, bb), slice(None), pl.ds(s0a, Tw), slice(None))
+            cp_o = pltpu.make_async_copy(in_ref.at[window], scr_o, sem_o)
+            cp_o.start()
+            cp_n = pltpu.make_async_copy(
+                n_ref.at[l, pl.ds(b0, bb)], scr_n.at[:, :, pl.ds(0, Tp), :], sem_n
+            )
+            cp_n.start()
+            cp_o.wait()
+            cp_n.wait()
+            # dynamic_rotate only handles 32-bit lanes; upcast bf16 for the roll
+            rolled = pltpu.roll(
+                scr_n[:].astype(jnp.float32), shift=off, axis=2
+            ).astype(scr_n.dtype)
+            scr_o[:] = jnp.where(in_blk, rolled, scr_o[:])
+            cp_w = pltpu.make_async_copy(scr_o, out_ref.at[window], sem_o)
+            cp_w.start()
+            cp_w.wait()
+
+    return _kernel
+
+
+def write_block(
+    k_buf: jnp.ndarray,   # [L, B, G, S, W]
+    v_buf: jnp.ndarray,   # [L, B, G, S, W]
+    k_new: jnp.ndarray,   # [L, B, G, T, W] same dtype as buf
+    v_new: jnp.ndarray,
+    start: jnp.ndarray,   # [] int32
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """In-place ``buf[..., start:start+T, :] = new`` for K and V; returns the
+    (aliased) buffers.  T may be any size; the kernel pads the staging block
+    internally and masks the write to exactly T rows."""
+    if not supports(k_buf.shape, k_new.shape):
+        raise ValueError(
+            f"write_block: unsupported shapes buf={k_buf.shape} new={k_new.shape}"
+        )
+    L, B, G, S, W = k_buf.shape
+    T = k_new.shape[-2]
+    Tp = -(-T // ALIGN) * ALIGN
+    if Tp != T:
+        pad = [(0, 0)] * 5
+        pad[3] = (0, Tp - T)
+        k_new = jnp.pad(k_new, pad)
+        v_new = jnp.pad(v_new, pad)
+    Tw = Tp + ALIGN
+    itemsize = jnp.dtype(k_buf.dtype).itemsize
+    bb = B
+    while bb > 1 and 2 * bb * G * Tw * W * itemsize > _VMEM_BUDGET:
+        if B % (bb // 2):
+            break
+        bb //= 2
+    while B % bb:
+        bb -= 1
+    kern = _make_kernel(B, G, S, W, Tp, T, bb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, B // bb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # k_new
+            pl.BlockSpec(memory_space=pl.ANY),   # v_new
+            pl.BlockSpec(memory_space=pl.ANY),   # k_buf (aliased -> out 0)
+            pl.BlockSpec(memory_space=pl.ANY),   # v_buf (aliased -> out 1)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bb, G, Tw, W), k_buf.dtype),
+            pltpu.VMEM((bb, G, Tw, W), k_buf.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_buf.shape, k_buf.dtype),
+            jax.ShapeDtypeStruct(v_buf.shape, v_buf.dtype),
+        ],
+        # scalar-prefetch operand shifts indices: inputs are
+        # (start, k_new, v_new, k_buf, v_buf) = 0..4
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.reshape(start.astype(jnp.int32), (1,)), k_new, v_new, k_buf, v_buf)

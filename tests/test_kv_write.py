@@ -1,0 +1,103 @@
+"""In-place pallas KV write kernel vs dynamic_update_slice semantics.
+
+The kernel (ops/pallas/kv_update.py) must be bit-identical to the XLA
+dynamic_update_slice path for every runtime start offset — including
+unaligned starts (read-modify-write window), logical block sizes that are
+not tile multiples (masked pad rows), and starts near the end of the buffer
+(clamped window).  Reference semantics: KVCache.cat (kv_cache.py:52-66).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lantern_tpu.kv as kvmod
+from lantern_tpu.kv import KVCache, group_blocks
+from lantern_tpu.ops.pallas.kv_update import write_block
+
+
+def _ref(buf, new, start):
+    z = jnp.zeros((), jnp.int32)
+    return jax.lax.dynamic_update_slice(buf, new, (z, z, z, start, z))
+
+
+@pytest.mark.parametrize("start", [0, 8, 13, 111, -1])   # -1 -> S - t (full)
+@pytest.mark.parametrize("t", [57, 64, 5])
+def test_write_block_matches_dus(start, t):
+    L, B, G, S, W = 2, 3, 2, 192, 128
+    if start == -1:
+        start = S - t
+    key = jax.random.PRNGKey(start * 100 + t)
+    kn = jax.random.normal(key, (L, B, G, t, W), jnp.float32)
+    vn = -kn
+    kb = jnp.full((L, B, G, S, W), 7.0, jnp.float32)
+    vb = jnp.full((L, B, G, S, W), -7.0, jnp.float32)
+    k2, v2 = write_block(kb, vb, kn, vn, jnp.int32(start), interpret=True)
+    np.testing.assert_array_equal(k2, _ref(kb, kn, jnp.int32(start)))
+    np.testing.assert_array_equal(v2, _ref(vb, vn, jnp.int32(start)))
+
+
+def test_kvcache_write_and_accept_pallas_interpret(nano_cfg=None):
+    """KVCache.write / accept_path: pallas path == dus path."""
+    from lantern_tpu.configs import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=256, num_layers=2, num_heads=2,
+        num_kv_heads=2, intermediate_size=256, max_seq_len=192,
+        dtype="float32",
+    )
+    B, T = 2, 17
+    key = jax.random.PRNGKey(0)
+    k_new = jax.random.normal(key, (cfg.num_layers, B, T, cfg.num_kv_heads, cfg.head_dim))
+    v_new = k_new * 0.5
+    rel = jnp.array([0, 3, 9, 16, 1, 2], jnp.int32)
+
+    def run():
+        c = KVCache.create(cfg, B).commit(jnp.int32(21))
+        c = c.write(k_new, v_new, advance=False, offset=0)
+        c = c.write(k_new, v_new, advance=True, offset=0)
+        c = c.accept_path(rel, jnp.int32(4))
+        return c
+
+    prev = kvmod.PALLAS_WRITE
+    try:
+        kvmod.PALLAS_WRITE = "never"
+        ref = run()
+        kvmod.PALLAS_WRITE = "interpret"
+        got = run()
+    finally:
+        kvmod.PALLAS_WRITE = prev
+    assert cfg.head_dim * cfg.num_kv_heads % 128 == 0  # kernel-eligible layout
+    np.testing.assert_array_equal(got.k, ref.k)
+    np.testing.assert_array_equal(got.v, ref.v)
+    assert int(got.length) == int(ref.length)
+
+
+def test_pallas_write_falls_back_under_vmap_and_grad():
+    """Batched / differentiated callers must not hit the aliased kernel."""
+    from lantern_tpu.configs import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=256, num_layers=1, num_heads=2,
+        num_kv_heads=2, intermediate_size=256, max_seq_len=64,
+        dtype="float32",
+    )
+    B, T = 1, 16
+    k_new = jnp.ones((cfg.num_layers, B, T, cfg.num_kv_heads, cfg.head_dim))
+
+    prev = kvmod.PALLAS_WRITE
+    try:
+        kvmod.PALLAS_WRITE = "interpret"   # eligible unless a tracer blocks it
+
+        def f(scale):
+            c = KVCache.create(cfg, B)
+            c = c.write(k_new * scale, k_new * scale)
+            return jnp.sum(c.k)
+
+        g = jax.grad(f)(jnp.float32(2.0))          # would fail on pallas path
+        assert np.isfinite(float(g))
+        out = jax.vmap(f)(jnp.arange(3, dtype=jnp.float32))
+        assert out.shape == (3,)
+    finally:
+        kvmod.PALLAS_WRITE = prev
