@@ -95,6 +95,9 @@ class _Ctx(NamedTuple):
     # position-dependent logits constraint (Lumina grid FSM):
     # fn(logits [T, V], positions [T]) -> logits; static per run
     logits_fn: object = None
+    # traced LANTERN operating point (acc.LanternRT); None = ecfg.lantern's
+    # static (k, delta).  Lets one compiled engine serve a (k, delta) sweep.
+    lantern_rt: object = None
 
 
 class TokenPrompt(NamedTuple):
@@ -160,7 +163,8 @@ def _verify_and_update(
         retrieve_safe = jnp.where(retrieve < 0, 0, retrieve)
         path_logits = logits_all[retrieve_safe]                  # [P, D, V]
         best, alen, bonus_logits = acc.greedy_verify(
-            path_logits, candidates, ctx.nearest, ecfg.lantern
+            path_logits, candidates, ctx.nearest, ecfg.lantern,
+            rt=ctx.lantern_rt,
         )
         bonus = jnp.argmax(bonus_logits).astype(jnp.int32)
         sel_slots = retrieve_safe[best]                          # [D]
@@ -173,6 +177,7 @@ def _verify_and_update(
             nearest=ctx.nearest, lantern=ecfg.lantern,
             node_q=node_q, level_probs=level_probs,
             node_level_row=inlevel_rank,
+            rt=ctx.lantern_rt,
         )
         bonus = jax.random.categorical(bonus_rng, jnp.log(jnp.maximum(dist, 1e-30))).astype(jnp.int32)
         # pad the slot path to the retrieve width D
@@ -459,6 +464,7 @@ def generate(
     token_prompt: Optional[TokenPrompt] = None,
     logits_mask: Optional[jnp.ndarray] = None,
     logits_fn=None,
+    lantern_rt: Optional[acc.LanternRT] = None,
 ) -> SpecResult:
     """Full speculative generation for one request.  ``spec`` is required in
     static mode and ignored in dynamic mode.
@@ -466,6 +472,10 @@ def generate(
     Two conditioning styles: embedding prefixes (LlamaGen labels/captions;
     pass ``cond``/``uncond``) or token prompts (Chameleon families; pass
     ``token_prompt``, with cond/uncond ignored).
+
+    ``lantern_rt`` (traced (k, delta), ``acc.LanternSpec.runtime``) overrides
+    the static operating point without recompiling — ``ecfg.lantern.k`` still
+    bounds the neighbor-table width.
     """
     max_steps = max_steps or ecfg.max_new
     state, prefix_valid, offs = prefill_request(
@@ -478,7 +488,8 @@ def generate(
                drope=tfm.make_rope_tables(dcfg.model),
                nearest=params.get("nearest_latents"),
                prefix_valid=prefix_valid, pos_offsets=offs,
-               logits_mask=logits_mask, logits_fn=logits_fn)
+               logits_mask=logits_mask, logits_fn=logits_fn,
+               lantern_rt=lantern_rt)
     if ecfg.mode == "static":
         step = make_static_step(ecfg, cfg, dcfg, spec, ctx)
     else:

@@ -36,7 +36,13 @@ from .sampling import LogitsWarp, warp_logits
 
 
 class LanternSpec(NamedTuple):
-    """Static relaxed-acceptance config. ``k == 0`` disables the relaxation."""
+    """Static relaxed-acceptance config. ``k == 0`` disables the relaxation.
+
+    ``k`` also fixes the neighbor-table width compiled into the program; the
+    *effective* operating point can be overridden per call with traced scalars
+    (``k_eff <= k``, ``delta_eff``) so one compiled engine serves a whole
+    (k, delta) sweep — jit recompiles cost ~15 min over this environment's
+    remote-TPU tunnel, a runtime operating point costs nothing."""
 
     k: int = 0
     delta: float = 0.0
@@ -45,17 +51,44 @@ class LanternSpec(NamedTuple):
     def enabled(self) -> bool:
         return self.k > 0
 
+    def runtime(self, k_eff=None, delta_eff=None) -> "LanternRT":
+        """Resolve the traced operating point (defaults = the static one)."""
+        k = self.k if k_eff is None else k_eff
+        d = self.delta if delta_eff is None else delta_eff
+        return LanternRT(k=jnp.asarray(k, jnp.int32),
+                         delta=jnp.asarray(d, jnp.float32))
+
+
+class LanternRT(NamedTuple):
+    """Traced (k, delta) operating point; shapes stay those of the static
+    ``LanternSpec.k`` table width."""
+
+    k: jnp.ndarray        # int32 scalar, <= spec.k
+    delta: jnp.ndarray    # f32 scalar
+
 
 def _neighbor_budget_index(
-    cumsum_neighbors: jnp.ndarray, px: jnp.ndarray, delta: float
+    cumsum_neighbors: jnp.ndarray, px: jnp.ndarray, delta, k_eff=None
 ) -> jnp.ndarray:
     """Largest neighbor index whose cumulative prob stays within the TVD budget
-    (delta, or (delta-1)*p(x) in the multiplicative delta>1 mode); -1 if none."""
-    if delta > 1.0:
-        ok = cumsum_neighbors <= (delta - 1.0) * px[..., None]
+    (delta, or (delta-1)*p(x) in the multiplicative delta>1 mode); -1 if none.
+    ``delta`` may be a python float (static) or a traced scalar; ``k_eff``
+    (traced) masks neighbors past the effective table width."""
+    if isinstance(delta, (int, float)):
+        if delta > 1.0:
+            ok = cumsum_neighbors <= (delta - 1.0) * px[..., None]
+        else:
+            ok = cumsum_neighbors <= delta
     else:
-        ok = cumsum_neighbors <= delta
+        d = jnp.asarray(delta, jnp.float32)
+        ok = jnp.where(
+            d > 1.0,
+            cumsum_neighbors <= (d - 1.0) * px[..., None],
+            cumsum_neighbors <= d,
+        )
     idx = jnp.arange(cumsum_neighbors.shape[-1], dtype=jnp.int32)
+    if k_eff is not None:
+        ok = ok & (idx < jnp.asarray(k_eff, jnp.int32))
     idx = jnp.broadcast_to(idx, cumsum_neighbors.shape)
     return jnp.max(jnp.where(ok, idx, -1), axis=-1)
 
@@ -65,18 +98,23 @@ def relaxed_prob(
     token: jnp.ndarray,
     nearest: jnp.ndarray,
     lantern: LanternSpec,
+    rt: Optional[LanternRT] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """LANTERN-inflated acceptance probability of ``token`` under ``probs``.
 
     ``probs`` [..., V], ``token`` [...] int32, ``nearest`` [V, K_tab] neighbor
     table.  Returns ``(p_relaxed, budget_idx)`` with ``budget_idx == -1`` when
-    no neighbor fits the budget (p unchanged).
+    no neighbor fits the budget (p unchanged).  ``rt`` (traced operating
+    point) narrows the budget to ``rt.k`` neighbors / ``rt.delta``.
     """
     px = jnp.take_along_axis(probs, token[..., None], axis=-1)[..., 0]
     neigh = nearest[token][..., : lantern.k]                  # [..., k]
     np_ = jnp.take_along_axis(probs, neigh, axis=-1)          # [..., k]
     cum = jnp.cumsum(np_, axis=-1)
-    j = _neighbor_budget_index(cum, px, lantern.delta)        # [...]
+    if rt is None:
+        j = _neighbor_budget_index(cum, px, lantern.delta)    # [...]
+    else:
+        j = _neighbor_budget_index(cum, px, rt.delta, k_eff=rt.k)
     gain = jnp.take_along_axis(cum, jnp.maximum(j, 0)[..., None], axis=-1)[..., 0]
     return jnp.where(j >= 0, px + gain, px), j
 
@@ -86,6 +124,7 @@ def greedy_verify(
     candidates: jnp.ndarray,
     nearest: Optional[jnp.ndarray] = None,
     lantern: LanternSpec = LanternSpec(),
+    rt: Optional[LanternRT] = None,
 ):
     """Strict (or LANTERN-relaxed) greedy tree verification, fully vectorized.
 
@@ -107,7 +146,7 @@ def greedy_verify(
         if nearest is None:
             raise ValueError("lantern acceptance requires a nearest-latent table")
         probs = jax.nn.softmax(path_logits[:, :-1], axis=-1)  # [P, D-1, V]
-        px_rel, _ = relaxed_prob(probs, xi_safe, nearest, lantern)
+        px_rel, _ = relaxed_prob(probs, xi_safe, nearest, lantern, rt)
         # scatter the inflated prob back and re-argmax (reference:581-587)
         probs = jnp.where(
             jax.nn.one_hot(xi_safe, V, dtype=bool), px_rel[..., None], probs
@@ -154,6 +193,7 @@ def stochastic_verify(
     b_indices: Optional[jnp.ndarray] = None,
     tree_tokens: Optional[jnp.ndarray] = None,
     uniforms: Optional[jnp.ndarray] = None,
+    rt: Optional[LanternRT] = None,
 ):
     """Multi-round speculative rejection sampling over the path table.
 
@@ -197,7 +237,7 @@ def stochastic_verify(
         state = _run_level(
             state, i, level_u, path_logits, candidates, warp,
             nearest, lantern, q_probs, level_probs, p_indices, b_indices,
-            tree_tokens, multidraft,
+            tree_tokens, multidraft, rt,
         )
 
     # Bonus distribution: residual if the last processed level adjusted p and
@@ -215,6 +255,7 @@ def _run_level(
     state: _LevelState, i: int, uniforms: jax.Array,
     path_logits, candidates, warp, nearest, lantern,
     q_probs, level_probs, p_indices, b_indices, tree_tokens, multidraft,
+    rt: Optional[LanternRT] = None,
 ):
     P, D, V = path_logits.shape
     # Skip the level if the walk already stopped (i != accept_length).
@@ -254,7 +295,12 @@ def _run_level(
         if lantern.enabled:
             neigh = nearest[x][: lantern.k]
             cum = jnp.cumsum(c.gtp[neigh])
-            jstar = _neighbor_budget_index(cum[None, :], px[None], lantern.delta)[0]
+            if rt is None:
+                jstar = _neighbor_budget_index(
+                    cum[None, :], px[None], lantern.delta)[0]
+            else:
+                jstar = _neighbor_budget_index(
+                    cum[None, :], px[None], rt.delta, k_eff=rt.k)[0]
             px = jnp.where(jstar >= 0, px + cum[jnp.maximum(jstar, 0)], px)
         qx = q_probs[j, i] if multidraft else 1.0
         acp = px / qx
@@ -274,15 +320,20 @@ def _run_level(
             q = jnp.where(has_sib, q / jnp.maximum(q.sum(), 1e-30), q)
             if lantern.enabled:
                 neigh1 = nearest[x][: lantern.k + 1]
-                zero_neigh = jnp.zeros((V,), bool).at[neigh1].set(jstar >= 0)
+                in_k = (jnp.arange(lantern.k + 1) <= rt.k) if rt is not None \
+                    else jnp.ones((lantern.k + 1,), bool)
+                zero_neigh = jnp.zeros((V,), bool).at[neigh1].set((jstar >= 0) & in_k)
                 q = jnp.where(zero_neigh, 0.0, q)
             new_gtp = jnp.maximum(c.gtp - q, 0.0)
         else:
             new_gtp = c.gtp.at[x].set(0.0)
             if lantern.enabled:
                 neigh1 = nearest[x][: lantern.k + 1]
+                in_k = (jnp.arange(lantern.k + 1) <= rt.k) if rt is not None \
+                    else jnp.ones((lantern.k + 1,), bool)
                 new_gtp = jnp.where(
-                    jnp.zeros((V,), bool).at[neigh1].set(jstar >= 0), 0.0, new_gtp
+                    jnp.zeros((V,), bool).at[neigh1].set((jstar >= 0) & in_k),
+                    0.0, new_gtp
                 )
         s = new_gtp.sum()
         new_gtp = jnp.where(s == 0, jnp.ones((V,), jnp.float32), new_gtp)
@@ -332,6 +383,7 @@ def stochastic_verify_tree(
     level_probs: Optional[Sequence[jnp.ndarray]] = None,
     node_level_row: Optional[jnp.ndarray] = None,  # [N+1] parent's in-level row
     uniforms: Optional[jnp.ndarray] = None,     # [depth, C]
+    rt: Optional[LanternRT] = None,
 ):
     """Multi-round rejection sampling as a direct tree walk.
 
@@ -402,7 +454,12 @@ def stochastic_verify_tree(
             if lantern.enabled:
                 neigh = nearest[x][: lantern.k]
                 cum = jnp.cumsum(carry.gtp[neigh])
-                jstar = _neighbor_budget_index(cum[None, :], px[None], lantern.delta)[0]
+                if rt is None:
+                    jstar = _neighbor_budget_index(
+                        cum[None, :], px[None], lantern.delta)[0]
+                else:
+                    jstar = _neighbor_budget_index(
+                        cum[None, :], px[None], rt.delta, k_eff=rt.k)[0]
                 px = jnp.where(jstar >= 0, px + cum[jnp.maximum(jstar, 0)], px)
             qx = node_q[jnp.maximum(child, 0)] if multidraft else 1.0
             accept_now = do_try & (u[c] <= px / qx)
@@ -418,16 +475,22 @@ def stochastic_verify_tree(
                 q = jnp.where(has_sib, q / jnp.maximum(q.sum(), 1e-30), q)
                 if lantern.enabled:
                     neigh1 = nearest[x][: lantern.k + 1]
+                    in_k = (jnp.arange(lantern.k + 1) <= rt.k) if rt is not None \
+                        else jnp.ones((lantern.k + 1,), bool)
                     q = jnp.where(
-                        jnp.zeros((V,), bool).at[neigh1].set(jstar >= 0), 0.0, q
+                        jnp.zeros((V,), bool).at[neigh1].set((jstar >= 0) & in_k),
+                        0.0, q
                     )
                 new_gtp = jnp.maximum(carry.gtp - q, 0.0)
             else:
                 new_gtp = carry.gtp.at[x].set(0.0)
                 if lantern.enabled:
                     neigh1 = nearest[x][: lantern.k + 1]
+                    in_k = (jnp.arange(lantern.k + 1) <= rt.k) if rt is not None \
+                        else jnp.ones((lantern.k + 1,), bool)
                     new_gtp = jnp.where(
-                        jnp.zeros((V,), bool).at[neigh1].set(jstar >= 0), 0.0, new_gtp
+                        jnp.zeros((V,), bool).at[neigh1].set((jstar >= 0) & in_k),
+                        0.0, new_gtp
                     )
             ssum = new_gtp.sum()
             new_gtp = jnp.where(ssum == 0, jnp.ones((V,), jnp.float32), new_gtp)

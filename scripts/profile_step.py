@@ -1,17 +1,26 @@
-"""Micro-benchmark the components of one speculative step on the real TPU.
+"""Component-level timing of one speculative step at bench (XL) geometry.
 
-Times, via jitted scan loops (so per-iteration host dispatch is amortized):
-  1. base AR forward        (2-token CFG pair through the full model)
-  2. base tree forward      (58-node tree block x2 through the full model)
-  3. drafter draft_static   (depth-4 static tree draft incl. lm_head+sampling)
-  4. full spec step         (verify + accept + rollback + redraft)
-  5. full AR step           (forward + cfg + warp + sample)
+Environment-specific measurement rules (axon remote-TPU relay):
+- ``jax.block_until_ready`` does NOT block here — executions are fully async
+  and only a host fetch (np.asarray) forces completion.  Every timing below
+  fetches its result.
+- Per-call round-trip latency over the tunnel is large (~0.5s), so each
+  component is timed as a jitted ``lax.scan`` of ITERS iterations (one
+  remote call, amortized), and the measured trivial-jit round-trip is
+  subtracted from totals.
+- Engine state is hand-built (zero caches + a mid-generation length), NOT
+  produced by an eager prefill: eager mode dispatches each op as its own
+  remote call and never finishes at XL scale.
 
-Run:  python scripts/profile_step.py          (TPU)
+The full fused spec-step loop is deliberately absent — its compile takes
+~20 min over the tunnel; bench.py's verify_steps_per_s already reports it.
+
+Usage: python scripts/profile_step.py [--size XL] [--iters 64]
 """
-
 from __future__ import annotations
 
+import argparse
+import dataclasses
 import os
 import sys
 import time
@@ -21,165 +30,186 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from lantern_tpu import configs, trees
-from lantern_tpu.engine import spec as spec_engine
-from lantern_tpu.engine.spec import SpecDecodeConfig, _Ctx
-from lantern_tpu.models import drafter as drf
-from lantern_tpu.models import transformer as tfm
-from lantern_tpu.kv import KVCache
-from lantern_tpu.ops.acceptance import LanternSpec
-from lantern_tpu.ops.sampling import LogitsWarp
-from lantern_tpu.ops.vq_distance import nearest_latents
-
-ITERS = int(os.environ.get("PROF_ITERS", 64))
-
-
-def timed(name, fn, *args):
-    r = fn(*args)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    r = fn(*args)
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / ITERS * 1e3
-    print(f"{name:28s} {dt:8.3f} ms/iter")
-    return dt
-
 
 def main():
-    size = os.environ.get("BENCH_SIZE", "XL")
-    cfg = configs.llamagen_config(size, "t2i", image_tokens=256)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="XL")
+    ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--tokens", type=int, default=256)
+    ap.add_argument("--prefix", type=int, default=248,
+                    help="simulated committed KV length (cls 120 + half image)")
+    args = ap.parse_args()
+    ITERS = args.iters
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lantern_tpu import configs, trees
+    from lantern_tpu.engine import spec
+    from lantern_tpu.kv import KVCache
+    from lantern_tpu.models import drafter as drf
+    from lantern_tpu.models import transformer as tfm
+    from lantern_tpu.ops.acceptance import LanternSpec
+    from lantern_tpu.ops.sampling import LogitsWarp, cfg_combine
+    from lantern_tpu.ops.vq_distance import nearest_latents
+
+    t_start = time.perf_counter()
+
+    def note(m):
+        print(f"[prof +{time.perf_counter() - t_start:6.1f}s] {m}",
+              file=sys.stderr, flush=True)
+
+    cfg = configs.llamagen_config(args.size, "t2i", image_tokens=args.tokens)
     dcfg = configs.drafter_config(cfg, total_tokens=59, depth=4, top_k=10)
     tree = trees.get_tree("naive_extend_57")
-
     cpu = jax.devices("cpu")[0]
-    tpu = jax.devices()[0]
+    dev = jax.devices()[0]
     with jax.default_device(cpu):
         params = tfm.init_params(jax.random.key(0), cfg)
         dparams = drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
         cb = jax.random.normal(jax.random.key(3), (cfg.vocab_size, 8))
         params["nearest_latents"] = jnp.asarray(nearest_latents(cb, k=11))
-    params = jax.device_put(params, tpu)
-    dparams = jax.device_put(dparams, tpu)
-
-    warp = LogitsWarp(temperature=1.0, top_k=2000, top_p=1.0)
-    ecfg = SpecDecodeConfig(warp=warp, cfg_scale=3.0,
-                            lantern=LanternSpec(k=10, delta=5.0),
-                            max_new=256, mode="static")
+    params = jax.device_put(params, dev)
+    dparams = jax.device_put(dparams, dev)
+    note("params on device")
     rope = tfm.make_rope_tables(cfg)
     drope = tfm.make_rope_tables(dcfg.model)
-    ctx = _Ctx(params=params, dparams=dparams, rope=rope, drope=drope,
-               nearest=params["nearest_latents"], prefix_valid=None,
-               pos_offsets=None, logits_mask=None, logits_fn=None)
+    warp = LogitsWarp(temperature=1.0, top_k=2000, top_p=1.0)
 
-    cond = jax.random.normal(jax.random.key(2), (1, cfg.cls_token_num, cfg.caption_dim))
-    uncond = params["cond"]["uncond"][None].astype(cond.dtype)
+    plen = jnp.asarray(args.prefix, jnp.int32)
+    base_kv = dataclasses.replace(KVCache.create(cfg, 2), length=plen)
+    draft_kv = dataclasses.replace(KVCache.create(dcfg.model, 2), length=plen)
 
-    # prefilled state for realistic cache contents
-    state, _, _ = spec_engine.prefill_request(
-        params, dparams, ecfg, cfg, dcfg, tree, cond, uncond, jax.random.key(9))
-    jax.block_until_ready(state)
-    print("prefilled; base len =", int(state.base_kv.length))
-
-    N1 = len(tree.tree_indices)
+    N1 = tree.num_nodes
     attn_mask = np.asarray(tree.attn_mask)
     depth_arr = np.asarray(tree.depth)
+    D = np.asarray(tree.retrieve_indices).shape[1]
 
-    # 1. bare base AR forward (2 tokens, committed append)
+    # --- tunnel round-trip baseline (jit dispatch + tiny fetch) ---
     @jax.jit
-    def loop_ar_fwd(params, st):
+    def trivial(x):
+        return x + 1
+    x0 = jax.device_put(jnp.zeros((), jnp.float32), dev)
+    np.asarray(trivial(x0))
+    t0 = time.perf_counter()
+    REP = 5
+    for _ in range(REP):
+        x0 = trivial(x0)
+        np.asarray(x0)
+    rt = (time.perf_counter() - t0) / REP
+    print(f"{'tunnel round-trip':28s} {rt * 1e3:8.3f} ms", flush=True)
+
+    results = {}
+
+    def timed(name, fn, *xs):
+        note(f"compiling {name}")
+        np.asarray(fn(*xs))          # compile + warm
+        t0 = time.perf_counter()
+        np.asarray(fn(*xs))
+        dt = (time.perf_counter() - t0 - rt) / ITERS
+        results[name] = dt * 1e3
+        print(f"{name:28s} {dt * 1e3:8.3f} ms/iter", flush=True)
+
+    # 1. base AR forward (2-row CFG pair, 1 token)
+    @jax.jit
+    def loop_ar_fwd(params, kv):
+        # loop-carried token <- previous hidden: defeats XLA loop-invariant
+        # hoisting, which would otherwise compute the body once
         def body(carry, _):
-            kv = carry
-            tok = jnp.zeros((2, 1), jnp.int32)
+            kv, tok = carry
             res = tfm.forward(params, cfg, tfm.token_embed(params, tok), kv,
                               positions=kv.length + jnp.zeros((1,), jnp.int32),
                               rope=rope, commit=False)
-            return res.kv, res.hidden[:, -1, 0]
-        kv = st.base_kv
-        kv, h = jax.lax.scan(body, kv, None, length=ITERS)
-        return h
+            tok2 = (res.hidden[:, -1:, 0].astype(jnp.int32) % cfg.vocab_size)
+            return (res.kv, jnp.abs(tok2)), res.hidden[0, -1, 0]
+        _, h = jax.lax.scan(body, (kv, jnp.zeros((2, 1), jnp.int32)), None,
+                            length=ITERS)
+        return h.sum()
+    timed("base AR fwd (2x1 tok)", loop_ar_fwd, params, base_kv)
 
-    # 2. bare tree verify forward (58 nodes x2, provisional)
+    # 2. tree verify forward (58 nodes x 2 rows)
     @jax.jit
-    def loop_tree_fwd(params, st):
+    def loop_tree_fwd(params, kv):
         def body(carry, _):
-            kv = carry
-            tok2 = jnp.zeros((2, N1), jnp.int32)
+            kv, t = carry
+            tok2 = jnp.broadcast_to(t, (2, N1))
             res = tfm.forward(params, cfg, tfm.token_embed(params, tok2), kv,
                               positions=depth_arr + kv.length, rope=rope,
                               block_mask=attn_mask, commit=False)
-            return kv, res.hidden[:, -1, 0]
-        kv, h = jax.lax.scan(body, st.base_kv, None, length=ITERS)
-        return h
+            t2 = jnp.abs(res.hidden[0, -1, 0].astype(jnp.int32)) % cfg.vocab_size
+            return (res.kv, t2), res.hidden[0, -1, 0]
+        _, h = jax.lax.scan(body, (kv, jnp.zeros((), jnp.int32)), None,
+                            length=ITERS)
+        return h.sum()
+    timed("tree fwd (58x2)", loop_tree_fwd, params, base_kv)
 
-    # 2b. tree forward + lm_head + cfg combine
+    # 2b. + lm_head + cfg combine
     @jax.jit
-    def loop_tree_fwd_head(params, st):
+    def loop_tree_fwd_head(params, kv):
         def body(carry, _):
-            kv = carry
-            tok2 = jnp.zeros((2, N1), jnp.int32)
+            kv, t = carry
+            tok2 = jnp.broadcast_to(t, (2, N1))
             res = tfm.forward(params, cfg, tfm.token_embed(params, tok2), kv,
                               positions=depth_arr + kv.length, rope=rope,
                               block_mask=attn_mask, commit=False)
-            lg = spec_engine.cfg_combine(
-                tfm.logits_head(params, res.hidden), 3.0)[0]
-            return kv, lg[0, 0]
-        kv, h = jax.lax.scan(body, st.base_kv, None, length=ITERS)
-        return h
+            lg = cfg_combine(tfm.logits_head(params, res.hidden), 3.0)[0]
+            t2 = jnp.argmax(lg[-1]).astype(jnp.int32)
+            return (res.kv, t2), lg[0, 0]
+        _, h = jax.lax.scan(body, (kv, jnp.zeros((), jnp.int32)), None,
+                            length=ITERS)
+        return h.sum()
+    timed("tree fwd + head + cfg", loop_tree_fwd_head, params, base_kv)
 
-    # 3. drafter static draft only
+    # 3. static draft (4 levels incl. lm_head + sampling)
     @jax.jit
-    def loop_draft(params, dparams, st):
+    def loop_draft(params, dparams, dkv):
+        hid0 = jnp.zeros((2, 1, cfg.hidden_size), cfg.jnp_dtype)
+
         def body(carry, rng):
-            dk, hid = carry
-            d, dk2 = drf.draft_static(dparams, dcfg, tree, drope, dk, hid,
-                                      params["lm_head"], 3.0, warp, rng)
-            return (dk, hid), d.ss_token[0, 0]
-        rngs = jax.random.split(jax.random.key(11), ITERS)
-        hid = jnp.zeros((2, 1, cfg.hidden_size), cfg.jnp_dtype)
-        _, toks = jax.lax.scan(body, (st.draft_kv, hid), rngs)
-        return toks
+            dkv, hid = carry
+            d, dkv2 = drf.draft_static(dparams, dcfg, tree, drope, dkv, hid,
+                                       params["lm_head"], 3.0, warp, rng)
+            hid2 = hid + d.ss_prob[0, 0].astype(hid.dtype)
+            return (dkv2, hid2), d.ss_token[0, 0]
+        _, t = jax.lax.scan(body, (dkv, hid0),
+                            jax.random.split(jax.random.key(11), ITERS))
+        return t.sum()
+    timed("draft_static (4 levels)", loop_draft, params, dparams, draft_kv)
 
-    # 4. full spec step — params/dparams must be jit ARGUMENTS (captured
-    # arrays inline as dense HLO constants: gigabytes for a real model)
+    # 4. drafter extend over accepted rows
     @jax.jit
-    def loop_step(params, dparams, st):
-        c = _Ctx(params=params, dparams=dparams, rope=rope, drope=drope,
-                 nearest=params["nearest_latents"], prefix_valid=None,
-                 pos_offsets=None, logits_mask=None, logits_fn=None)
-        step_fn = spec_engine.make_static_step(ecfg, cfg, dcfg, tree, c)
+    def loop_extend(dparams, dkv):
+        tokD = jnp.zeros((2, D), jnp.int32)
+        hidD0 = jnp.zeros((2, D, cfg.hidden_size), cfg.jnp_dtype)
 
         def body(carry, _):
-            st = step_fn(carry)
-            # reset counters so the token buffer never overflows
-            return st._replace(n_new=jnp.zeros((), jnp.int32)), st.accept_sum
-        st2, acc = jax.lax.scan(body, st, None, length=ITERS)
-        return acc
+            dkv, hidD = carry
+            out, dkv2 = drf.extend(dparams, dcfg, drope, dkv, tokD, hidD,
+                                   jnp.int32(0))
+            return (dkv2, hidD + out[:, :, :1] * 0 + out[0, -1, 0]), out[0, -1, 0]
+        _, h = jax.lax.scan(body, (dkv, hidD0), None, length=ITERS)
+        return h.sum()
+    timed("drafter extend", loop_extend, dparams, draft_kv)
 
-    # 5. full AR step loop (forward+sample) via ar.generate on ITERS tokens
-    from lantern_tpu.engine import ar
+    # 5. KV rollback (accept_path gather + write)
+    sel = jnp.arange(D, dtype=jnp.int32)
 
-    def loop_ar_full():
-        return ar.generate(params, cfg, cond, uncond, ITERS, 3.0, warp,
-                           jax.random.key(13))
+    @jax.jit
+    def loop_accept(kv):
+        def body(kv, _):
+            kv2 = kv.accept_path(sel, jnp.int32(0))
+            return kv2, kv2.k[0, 0, 0, 0, 0]
+        _, h = jax.lax.scan(body, kv, None, length=ITERS)
+        return h.sum()
+    timed("kv accept_path", loop_accept, base_kv)
 
-    t_ar_fwd = timed("base AR fwd (2 tok)", loop_ar_fwd, params, state)
-    t_tree = timed("tree fwd (58x2)", loop_tree_fwd, params, state)
-    t_tree_h = timed("tree fwd + head + cfg", loop_tree_fwd_head, params, state)
-    t_draft = timed("drafter draft_static d4", loop_draft, params, dparams, state)
-    t_step = timed("full spec step", loop_step, params, dparams, state)
-    r = loop_ar_full(); jax.block_until_ready(r.tokens)
-    t0 = time.perf_counter(); r = loop_ar_full(); jax.block_until_ready(r.tokens)
-    t_arf = (time.perf_counter() - t0) / ITERS * 1e3
-    print(f"{'full AR step (ar.generate)':28s} {t_arf:8.3f} ms/iter")
-
-    print()
-    print(f"head+cfg cost        : {t_tree_h - t_tree:6.3f} ms")
-    print(f"accept+rollback+misc : {t_step - t_tree_h - t_draft:6.3f} ms")
-    print(f"AR overhead vs fwd   : {t_arf - t_ar_fwd:6.3f} ms")
+    known = (results.get("tree fwd + head + cfg", 0)
+             + results.get("draft_static (4 levels)", 0)
+             + results.get("drafter extend", 0)
+             + results.get("kv accept_path", 0))
+    print(f"{'sum of spec-step parts':28s} {known:8.3f} ms "
+          f"(bench spec step adds verify walk + commit glue)", flush=True)
 
 
 if __name__ == "__main__":

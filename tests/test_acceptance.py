@@ -328,3 +328,57 @@ class TestKthLargest:
         kth = np.sort(x, axis=-1)[:, ::-1][:, 1999:2000]
         b = np.where(x < kth, np.finfo(np.float32).min, x)
         np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# traced (k, delta) operating-point override
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("k_eff,delta_eff", [(3, 0.2), (5, 0.45), (8, 5.0)])
+def test_greedy_runtime_point_equals_static(nearest, k_eff, delta_eff):
+    """greedy_verify with a traced LanternRT(k', d') must equal a statically
+    compiled LanternSpec(k', d') — one compile serves the whole sweep."""
+    spec, toks, cand, logits, _ = make_case(3, collide=False)
+    nj = jnp.asarray(nearest)
+    static = _greedy(jnp.asarray(logits), jnp.asarray(cand), nj,
+                     lantern=acc.LanternSpec(k=k_eff, delta=delta_eff))
+    wide = acc.LanternSpec(k=NEIGH_K, delta=0.123)   # compiled table width
+    rt = wide.runtime(k_eff=k_eff, delta_eff=delta_eff)
+    dyn = jax.jit(acc.greedy_verify, static_argnames=("lantern",))(
+        jnp.asarray(logits), jnp.asarray(cand), nj, lantern=wide, rt=rt)
+    assert int(dyn[0]) == int(static[0])
+    assert int(dyn[1]) == int(static[1])
+    np.testing.assert_allclose(np.asarray(dyn[2]), np.asarray(static[2]))
+
+
+@pytest.mark.parametrize("u", [0.0, 0.4, 0.999])
+@pytest.mark.parametrize("k_eff,delta_eff", [(3, 0.2), (5, 5.0), (8, 20.0)])
+def test_tree_walk_runtime_point_equals_static(nearest, u, k_eff, delta_eff):
+    (spec, toks, cand, logits, level_probs, q_probs,
+     node_logits, node_q) = make_multidraft_case(5)
+    warp = LogitsWarp(temperature=1.0, top_k=0, top_p=1.0)
+    nj = jnp.asarray(nearest)
+    C = spec.children.shape[1]
+    uniforms = jnp.full((spec.max_depth, C), u, jnp.float32)
+    common = dict(
+        node_q=jnp.asarray(node_q),
+        level_probs=tuple(jnp.asarray(x) for x in level_probs),
+        node_level_row=jnp.asarray(spec.inlevel_rank),
+        uniforms=uniforms,
+    )
+    sp, sl, sd = _stoch_tree(
+        None, jnp.asarray(node_logits), jnp.asarray(toks),
+        jnp.asarray(spec.children), depth=spec.max_depth, warp=warp,
+        nearest=nj, lantern=acc.LanternSpec(k=k_eff, delta=delta_eff),
+        **common)
+    wide = acc.LanternSpec(k=NEIGH_K, delta=0.123)
+    dp, dl, dd = _stoch_tree(
+        None, jnp.asarray(node_logits), jnp.asarray(toks),
+        jnp.asarray(spec.children), depth=spec.max_depth, warp=warp,
+        nearest=nj, lantern=wide,
+        rt=wide.runtime(k_eff=k_eff, delta_eff=delta_eff),
+        **common)
+    assert int(dl) == int(sl)
+    np.testing.assert_array_equal(np.asarray(dp), np.asarray(sp))
+    np.testing.assert_allclose(np.asarray(dd), np.asarray(sd),
+                               rtol=2e-4, atol=1e-6)
