@@ -53,7 +53,17 @@ def main():
     LD = float(os.environ.get("BENCH_LANTERN_DELTA", 5.0))
 
     cfg = configs.llamagen_config(size, "t2i", image_tokens=IMAGE_TOKENS)
-    dcfg = configs.drafter_config(cfg, total_tokens=59, depth=4, top_k=10)
+    drafter_ckpt_probe = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"ckpts/bench_drafter_{size}.npz",
+    )
+    d_layers = 1
+    if os.path.exists(drafter_ckpt_probe):
+        with np.load(drafter_ckpt_probe) as z0:
+            if "num_layers" in z0.files:
+                d_layers = int(z0["num_layers"])
+    dcfg = configs.drafter_config(cfg, num_layers=d_layers,
+                                  total_tokens=59, depth=4, top_k=10)
     tree = trees.get_tree("naive_extend_57")
 
     # init on host CPU then transfer: remote-compiling a dozen RNG kernels
@@ -91,6 +101,10 @@ def main():
     with jax.default_device(cpu):
         cb = jax.random.normal(jax.random.key(3), (cfg.vocab_size, 8))
         params["nearest_latents"] = jnp.asarray(nearest_latents(cb, k=LK + 1))
+    # fused QKV / gate-up layouts: fewer, longer weight streams per layer
+    # (single-chip serving path; TP keeps split weights, see tfm.fuse_params)
+    params = tfm.fuse_params(params)
+    dparams = tfm.fuse_params(dparams)
     params = jax.device_put(params, tpu)
     dparams = jax.device_put(dparams, tpu)
 

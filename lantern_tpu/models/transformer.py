@@ -113,6 +113,30 @@ def init_params(rng: jax.Array, cfg: ModelConfig, dtype=None) -> dict:
 # building blocks
 # ---------------------------------------------------------------------------
 
+def fuse_params(params: dict) -> dict:
+    """Fuse per-layer QKV and gate/up projections into single matmuls.
+
+    One [H, (nh+2nkv)*hd] and one [H, 2I] kernel per layer replace five —
+    fewer kernel launches per decode step (~108 at XL depth) and longer
+    contiguous weight streams for the HBM-bound small-batch forward.
+    Single-chip / data-parallel serving only: the fused column axis crosses
+    q/k/v boundaries, so Megatron-style TP sharding (parallel/mesh.py) keeps
+    the split layout.  ``forward`` accepts either layout.
+    """
+    p = dict(params)
+    layers = dict(p["layers"])
+    if "wq" in layers:
+        layers["wqkv"] = jnp.concatenate(
+            [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=-1
+        )
+    if "w_gate" in layers:
+        layers["w_gu"] = jnp.concatenate(
+            [layers.pop("w_gate"), layers.pop("w_up")], axis=-1
+        )
+    p["layers"] = layers
+    return p
+
+
 def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -277,9 +301,15 @@ def forward(
                 # drafter layer 0 feeds the fc-fused input straight into
                 # attention (cnets_llamagen.py:466-470)
                 x = jnp.where(idx == 0, h, x)
-        q = (x @ w["wq"]).reshape(B, T, nh, hd)
-        k = (x @ w["wk"]).reshape(B, T, nkv, hd)
-        v = (x @ w["wv"]).reshape(B, T, nkv, hd)
+        if "wqkv" in w:
+            y = x @ w["wqkv"]
+            q = y[..., : nh * hd].reshape(B, T, nh, hd)
+            k = y[..., nh * hd: (nh + nkv) * hd].reshape(B, T, nkv, hd)
+            v = y[..., (nh + nkv) * hd:].reshape(B, T, nkv, hd)
+        else:
+            q = (x @ w["wq"]).reshape(B, T, nh, hd)
+            k = (x @ w["wk"]).reshape(B, T, nkv, hd)
+            v = (x @ w["wv"]).reshape(B, T, nkv, hd)
         if cfg.qk_norm:
             q = head_layer_norm(q, w["q_norm_w"], w["q_norm_b"], cfg.norm_eps)
             k = head_layer_norm(k, w["k_norm_w"], w["k_norm_b"], cfg.norm_eps)
@@ -323,7 +353,12 @@ def forward(
         else:
             h1 = h + attn_out
             mlp_in = rms_norm(h1, w["ffn_norm"], cfg.rms_norm_eps)
-        mlp = (jax.nn.silu(mlp_in @ w["w_gate"]) * (mlp_in @ w["w_up"])) @ w["w_down"]
+        if "w_gu" in w:
+            gu = mlp_in @ w["w_gu"]
+            I = gu.shape[-1] // 2
+            mlp = (jax.nn.silu(gu[..., :I]) * gu[..., I:]) @ w["w_down"]
+        else:
+            mlp = (jax.nn.silu(mlp_in @ w["w_gate"]) * (mlp_in @ w["w_up"])) @ w["w_down"]
         if cfg.swin_norm:
             mlp = rms_norm(mlp, w["ffn_norm"], cfg.rms_norm_eps)
         h2 = h1 + mlp
@@ -377,9 +412,15 @@ def forward_train(
             x = rms_norm(h, w["attn_norm"], cfg.rms_norm_eps)
             if cfg.first_layer_no_input_norm:
                 x = jnp.where(idx == 0, h, x)
-        q = (x @ w["wq"]).reshape(B, T, nh, hd)
-        k = (x @ w["wk"]).reshape(B, T, nkv, hd)
-        v = (x @ w["wv"]).reshape(B, T, nkv, hd)
+        if "wqkv" in w:
+            y = x @ w["wqkv"]
+            q = y[..., : nh * hd].reshape(B, T, nh, hd)
+            k = y[..., nh * hd: (nh + nkv) * hd].reshape(B, T, nkv, hd)
+            v = y[..., (nh + nkv) * hd:].reshape(B, T, nkv, hd)
+        else:
+            q = (x @ w["wq"]).reshape(B, T, nh, hd)
+            k = (x @ w["wk"]).reshape(B, T, nkv, hd)
+            v = (x @ w["wv"]).reshape(B, T, nkv, hd)
         if cfg.qk_norm:
             q = head_layer_norm(q, w["q_norm_w"], w["q_norm_b"], cfg.norm_eps)
             k = head_layer_norm(k, w["k_norm_w"], w["k_norm_b"], cfg.norm_eps)
@@ -400,7 +441,12 @@ def forward_train(
         else:
             h1 = h + attn_out
             mlp_in = rms_norm(h1, w["ffn_norm"], cfg.rms_norm_eps)
-        mlp = (jax.nn.silu(mlp_in @ w["w_gate"]) * (mlp_in @ w["w_up"])) @ w["w_down"]
+        if "w_gu" in w:
+            gu = mlp_in @ w["w_gu"]
+            I = gu.shape[-1] // 2
+            mlp = (jax.nn.silu(gu[..., :I]) * gu[..., I:]) @ w["w_down"]
+        else:
+            mlp = (jax.nn.silu(mlp_in @ w["w_gate"]) * (mlp_in @ w["w_up"])) @ w["w_down"]
         if cfg.swin_norm:
             mlp = rms_norm(mlp, w["ffn_norm"], cfg.rms_norm_eps)
         return h1 + mlp, None

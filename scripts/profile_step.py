@@ -70,6 +70,8 @@ def main():
         dparams = drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
         cb = jax.random.normal(jax.random.key(3), (cfg.vocab_size, 8))
         params["nearest_latents"] = jnp.asarray(nearest_latents(cb, k=11))
+    params = tfm.fuse_params(params)
+    dparams = tfm.fuse_params(dparams)
     params = jax.device_put(params, dev)
     dparams = jax.device_put(dparams, dev)
     note("params on device")

@@ -53,7 +53,15 @@ def main():
               file=sys.stderr, flush=True)
 
     cfg = configs.llamagen_config(args.size, "t2i", image_tokens=args.tokens)
-    dcfg = configs.drafter_config(cfg, total_tokens=59, depth=4, top_k=10)
+    ckpt = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        f"ckpts/bench_drafter_{args.size}.npz")
+    d_layers = 1
+    if os.path.exists(ckpt):
+        with np.load(ckpt) as z0:
+            if "num_layers" in z0.files:
+                d_layers = int(z0["num_layers"])
+    dcfg = configs.drafter_config(cfg, num_layers=d_layers,
+                                  total_tokens=59, depth=4, top_k=10)
     tree = trees.get_tree(args.tree)
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
@@ -63,8 +71,6 @@ def main():
         cb = jax.random.normal(jax.random.key(3), (cfg.vocab_size, 8))
         params["nearest_latents"] = jnp.asarray(nearest_latents(cb, k=kmax + 1))
 
-    ckpt = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        f"ckpts/bench_drafter_{args.size}.npz")
     if os.path.exists(ckpt):
         z = np.load(ckpt)
         dt_ = cfg.jnp_dtype
@@ -75,6 +81,8 @@ def main():
             for k in z.files if k.startswith("layers.")
         }
         note(f"loaded trained drafter {ckpt}")
+    params = tfm.fuse_params(params)
+    dparams = tfm.fuse_params(dparams)
     params = jax.device_put(params, tpu)
     dparams = jax.device_put(dparams, tpu)
 

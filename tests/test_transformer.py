@@ -240,3 +240,39 @@ def test_caption_prefix_padding_mask(ref_kv_mod):
     np.testing.assert_allclose(
         np.asarray(res2.hidden), out_ref2.last_hidden_state.numpy(), rtol=2e-4, atol=2e-5
     )
+
+
+def test_fused_params_forward_equivalence():
+    """fuse_params (QKV + gate/up fused matmuls, the single-chip serving
+    layout) must be numerically identical to the split layout on both the
+    cached-decode and training forwards, across norm orderings."""
+    import dataclasses
+
+    from lantern_tpu import configs
+    from lantern_tpu.kv import KVCache
+
+    cases = [
+        configs.llamagen_config("nano", "t2i", image_tokens=16),
+        dataclasses.replace(
+            configs.chameleon_7b_config(swin_norm=True),
+            num_layers=2, hidden_size=64, num_heads=4, num_kv_heads=4,
+            intermediate_size=128, vocab_size=256, max_seq_len=64,
+        ),
+    ]
+    for cfg in cases:
+        params = tfm.init_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        fused = tfm.fuse_params(params)
+        assert "wqkv" in fused["layers"] and "wq" not in fused["layers"]
+        rope = tfm.make_rope_tables(cfg)
+        kv = KVCache.create(cfg, 2, max_len=64)
+        x = jax.random.normal(jax.random.key(1), (2, 5, cfg.hidden_size), jnp.float32)
+        r1 = tfm.forward(params, cfg, x, kv, jnp.arange(5), rope)
+        r2 = tfm.forward(fused, cfg, x, kv, jnp.arange(5), rope)
+        np.testing.assert_allclose(np.asarray(r1.hidden), np.asarray(r2.hidden),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r1.kv.k), np.asarray(r2.kv.k),
+                                   rtol=1e-5, atol=1e-5)
+        h1 = tfm.forward_train(params, cfg, x, jnp.arange(5), rope)
+        h2 = tfm.forward_train(fused, cfg, x, jnp.arange(5), rope)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                                   rtol=1e-5, atol=1e-5)
