@@ -373,36 +373,36 @@ def forward(
     return ForwardResult(hidden=hidden, kv=kv)
 
 
-def forward_train(
-    params: dict,
-    cfg: ModelConfig,
-    embeds: jnp.ndarray,          # [B, T, H]
-    positions: jnp.ndarray,       # [T] or [B, T]
-    rope,
-    attn_valid: Optional[jnp.ndarray] = None,   # [B, T] padding mask
-    remat: bool = True,
-) -> jnp.ndarray:
-    """Cache-free causal forward for training (full-model finetuning /
-    teacher-forced distillation).  Rematerializes each layer under grad
-    (``jax.checkpoint``) to trade FLOPs for HBM, the TPU analog of the
-    reference's FSDP gradient-checkpointing wrap policy
-    (xllmx/solvers/finetune/finetune.py:375-417)."""
-    B, T, H = embeds.shape
-    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    cos, sin = rope
-    if positions.ndim == 1:
-        positions = positions[None, :]
-    positions = jnp.clip(positions, 0, cos.shape[0] - 1)
-
+def train_mask(T: int, attn_valid: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Additive [B or 1, 1, T, T] causal (+padding) mask for training."""
     causal = jnp.tril(jnp.ones((T, T), bool))[None]
     if attn_valid is not None:
         causal = causal & attn_valid[:, None, :].astype(bool)
-    mask = jnp.where(causal, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+    return jnp.where(causal, 0.0, NEG_INF).astype(jnp.float32)[:, None]
 
+
+def train_layer_block(
+    layers: dict,                 # layer-stacked weights [Ls, ...]
+    cfg: ModelConfig,
+    x: jnp.ndarray,               # [B, T, H]
+    positions: jnp.ndarray,       # [B or 1, T] (already clipped)
+    rope,
+    mask: jnp.ndarray,            # additive [B or 1, 1, T, T]
+    idx0=0,                       # global index of this block's first layer
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Scan a (slice of the) layer stack over ``x`` — the cache-free training
+    block shared by ``forward_train`` and the pipeline-parallel stages
+    (parallel/pipeline.py), which apply it to consecutive layer slices with
+    the right global ``idx0`` (layer 0 skips the input norm on drafters)."""
+    B, T, H = x.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    cos, sin = rope
     apply_rope = (
         apply_rope_interleaved if cfg.rope_pairing == "interleaved" else apply_rope_half
     )
     scale = hd ** -0.5
+    n_here = jax.tree.leaves(layers)[0].shape[0]
 
     def layer(h, xs):
         idx, w = xs
@@ -452,8 +452,34 @@ def forward_train(
         return h1 + mlp, None
 
     body = jax.checkpoint(layer) if remat else layer
-    hidden, _ = jax.lax.scan(
-        body, embeds, (jnp.arange(cfg.num_layers), params["layers"])
+    out, _ = jax.lax.scan(
+        body, x, (idx0 + jnp.arange(n_here), layers)
+    )
+    return out
+
+
+def forward_train(
+    params: dict,
+    cfg: ModelConfig,
+    embeds: jnp.ndarray,          # [B, T, H]
+    positions: jnp.ndarray,       # [T] or [B, T]
+    rope,
+    attn_valid: Optional[jnp.ndarray] = None,   # [B, T] padding mask
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Cache-free causal forward for training (full-model finetuning /
+    teacher-forced distillation).  Rematerializes each layer under grad
+    (``jax.checkpoint``) to trade FLOPs for HBM, the TPU analog of the
+    reference's FSDP gradient-checkpointing wrap policy
+    (xllmx/solvers/finetune/finetune.py:375-417)."""
+    T = embeds.shape[1]
+    cos, _ = rope
+    if positions.ndim == 1:
+        positions = positions[None, :]
+    positions = jnp.clip(positions, 0, cos.shape[0] - 1)
+    mask = train_mask(T, attn_valid)
+    hidden = train_layer_block(
+        params["layers"], cfg, embeds, positions, rope, mask, remat=remat
     )
     if cfg.final_norm:
         hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
