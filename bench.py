@@ -175,8 +175,7 @@ def main():
                 for i, r in enumerate(reqs):
                     batch = eng.insert(batch, i, r)
                 while True:
-                    for _ in range(16):
-                        batch = eng.step(batch)
+                    batch = eng.step_many(batch, 24)
                     n_new, _, _ = eng.slot_status(batch)
                     if (n_new >= IMAGE_TOKENS).all():
                         return batch

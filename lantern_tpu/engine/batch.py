@@ -86,10 +86,23 @@ class BatchedEngine:
 
         # donate the batch state: KV buffers update in place instead of
         # allocating + copying fresh outputs every step
-        self._batched_step = jax.jit(
-            jax.vmap(one_step, in_axes=(None, None, 0, 0, 0)),
-            donate_argnums=(2,),
-        )
+        vstep = jax.vmap(one_step, in_axes=(None, None, 0, 0, 0))
+        self._batched_step = jax.jit(vstep, donate_argnums=(2,))
+
+        # fused multi-step: one dispatch per n steps.  Host-driven per-step
+        # dispatch costs ~5-10 ms of pytree arg processing per call (plus
+        # full round trips on remote-TPU links); a lax.scan amortizes it and
+        # lets the scheduler poll slot status at a coarser cadence.
+        from functools import partial as _partial
+
+        @_partial(jax.jit, static_argnums=(5,), donate_argnums=(2,))
+        def step_many_fn(params, dparams, bstate, bpv, boffs, n):
+            def body(st, _):
+                return vstep(params, dparams, st, bpv, boffs), None
+            st, _ = jax.lax.scan(body, bstate, None, length=n)
+            return st
+
+        self._batched_step_many = step_many_fn
         self._insert = jax.jit(self._insert_impl, donate_argnums=(0,))
 
         # prefill must be jitted: run eagerly it dispatches hundreds of ops
@@ -145,14 +158,21 @@ class BatchedEngine:
         return (self._batched_step(self.params, self.dparams, bstate, bpv,
                                    boffs), bpv, boffs)
 
+    def step_many(self, batch, n: int):
+        """Run ``n`` batched steps in one fused dispatch (lax.scan)."""
+        bstate, bpv, boffs = batch
+        return (self._batched_step_many(self.params, self.dparams, bstate,
+                                        bpv, boffs, n), bpv, boffs)
+
     # -- host-side convenience ------------------------------------------
     def slot_status(self, batch):
-        """(n_new, steps, accept_sum) per slot as numpy."""
-        import numpy as np
-
+        """(n_new, steps, accept_sum) per slot as numpy — one device fetch
+        (three separate np.asarray calls would pay three round trips on
+        remote links)."""
         bstate = batch[0]
-        return (np.asarray(bstate.n_new), np.asarray(bstate.steps),
-                np.asarray(bstate.accept_sum))
+        n_new, steps, acc = jax.device_get(
+            (bstate.n_new, bstate.steps, bstate.accept_sum))
+        return n_new, steps, acc
 
     def slot_tokens(self, batch, slot):
         import numpy as np

@@ -163,6 +163,39 @@ def main():
         return h.sum()
     timed("tree fwd + head + cfg", loop_tree_fwd_head, params, base_kv)
 
+    # 2c. dense-attention variants (flash kernel launch cost probe)
+    import dataclasses as _dc
+    cfg_dense = _dc.replace(cfg, use_flash_attention=False)
+
+    @jax.jit
+    def loop_ar_fwd_dense(params, kv):
+        def body(carry, _):
+            kv, tok = carry
+            res = tfm.forward(params, cfg_dense, tfm.token_embed(params, tok), kv,
+                              positions=kv.length + jnp.zeros((1,), jnp.int32),
+                              rope=rope, commit=False)
+            tok2 = (res.hidden[:, -1:, 0].astype(jnp.int32) % cfg.vocab_size)
+            return (res.kv, jnp.abs(tok2)), res.hidden[0, -1, 0]
+        _, h = jax.lax.scan(body, (kv, jnp.zeros((2, 1), jnp.int32)), None,
+                            length=ITERS)
+        return h.sum()
+    timed("base AR fwd dense-attn", loop_ar_fwd_dense, params, base_kv)
+
+    @jax.jit
+    def loop_tree_fwd_dense(params, kv):
+        def body(carry, _):
+            kv, t = carry
+            tok2 = jnp.broadcast_to(t, (2, N1))
+            res = tfm.forward(params, cfg_dense, tfm.token_embed(params, tok2), kv,
+                              positions=depth_arr + kv.length, rope=rope,
+                              block_mask=attn_mask, commit=False)
+            t2 = jnp.abs(res.hidden[0, -1, 0].astype(jnp.int32)) % cfg.vocab_size
+            return (res.kv, t2), res.hidden[0, -1, 0]
+        _, h = jax.lax.scan(body, (kv, jnp.zeros((), jnp.int32)), None,
+                            length=ITERS)
+        return h.sum()
+    timed("tree fwd dense-attn", loop_tree_fwd_dense, params, base_kv)
+
     # 3. static draft (4 levels incl. lm_head + sampling)
     @jax.jit
     def loop_draft(params, dparams, dkv):
@@ -206,9 +239,76 @@ def main():
         return h.sum()
     timed("kv accept_path", loop_accept, base_kv)
 
+    # 6. stochastic verify walk (the acceptance glue)
+    children = np.asarray(tree.children)
+    inlevel = np.asarray(tree.inlevel_rank)
+    from lantern_tpu.ops import acceptance as acc
+    V = cfg.vocab_size
+    # level_probs rows: level 0 = root (1 row); level d = that level's
+    # expansion rows (see drafter.draft_static)
+    lp_shapes = [1] + [len(l.child_flat_idx) for l in tree.levels]
+    level_probs = tuple(jnp.full((r, V), 1.0 / V, jnp.float32) for r in lp_shapes)
+
+    @jax.jit
+    def loop_verify(nearest, logits0):
+        def body(carry, rng):
+            logits = logits0 + carry
+            path, alen, dist = acc.stochastic_verify_tree(
+                rng, logits, jnp.zeros((N1,), jnp.int32), children,
+                depth=tree.max_depth, warp=warp, nearest=nearest,
+                lantern=LanternSpec(k=10, delta=5.0),
+                node_q=jnp.full((N1,), 0.5, jnp.float32),
+                level_probs=level_probs, node_level_row=inlevel)
+            return carry + dist[0], alen
+        _, a = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                            jax.random.split(jax.random.key(5), ITERS))
+        return a.sum()
+    logits0 = jax.random.normal(jax.random.key(6), (N1, V), jnp.float32)
+    timed("stochastic_verify_tree", loop_verify,
+          jax.device_put(params["nearest_latents"], dev),
+          jax.device_put(logits0, dev))
+
+    # 7. full fused spec step (counters reset so buffers never overflow)
+    if os.environ.get("PROF_FULL_STEP", "1") == "1":
+        warp_s = warp
+        ecfg = spec.SpecDecodeConfig(
+            warp=warp_s, cfg_scale=3.0,
+            lantern=LanternSpec(k=10, delta=5.0),
+            max_new=args.tokens, mode="static",
+        )
+
+        @jax.jit
+        def loop_step(params, dparams, base_kv, draft_kv):
+            ctx = spec._Ctx(params=params, dparams=dparams, rope=rope,
+                            drope=drope, nearest=params["nearest_latents"],
+                            prefix_valid=None, pos_offsets=None,
+                            logits_mask=None, logits_fn=None)
+            step_fn = spec.make_static_step(ecfg, cfg, dcfg, tree, ctx)
+            hid = jnp.zeros((2, 1, cfg.hidden_size), cfg.jnp_dtype)
+            d0, dkv = drf.draft_static(dparams, dcfg, tree, drope, draft_kv,
+                                       hid, params["lm_head"], 3.0, warp_s,
+                                       jax.random.key(3))
+            st = spec.SpecState(
+                base_kv=base_kv, draft_kv=dkv, draft=d0,
+                root_token=jnp.zeros((), jnp.int32),
+                tokens=jnp.zeros((args.tokens + tree.path_len + 1,), jnp.int32),
+                n_new=jnp.zeros((), jnp.int32),
+                steps=jnp.zeros((), jnp.int32),
+                accept_sum=jnp.zeros((), jnp.int32),
+                rng=jax.random.key(4),
+            )
+
+            def body(st, _):
+                st = step_fn(st)
+                return st._replace(n_new=jnp.zeros((), jnp.int32)), st.accept_sum
+            st, a = jax.lax.scan(body, st, None, length=ITERS)
+            return a.sum()
+        timed("FULL spec step", loop_step, params, dparams, base_kv, draft_kv)
+
     known = (results.get("tree fwd + head + cfg", 0)
              + results.get("draft_static (4 levels)", 0)
              + results.get("drafter extend", 0)
+             + results.get("stochastic_verify_tree", 0)
              + results.get("kv accept_path", 0))
     print(f"{'sum of spec-step parts':28s} {known:8.3f} ms "
           f"(bench spec step adds verify walk + commit glue)", flush=True)

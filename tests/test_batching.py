@@ -151,3 +151,34 @@ def test_batched_token_prompts():
     done = Scheduler(eng, use_native=False).run(reqs)
     for r in done:
         np.testing.assert_array_equal(r.tokens, expected[r.uid])
+
+
+def test_step_many_equals_repeated_step(setup):
+    """The fused multi-step dispatch must be bit-identical to n single
+    steps (same math, one scan)."""
+    cfg, dcfg, params, dparams, ecfg, tree = setup
+    eng_a = BatchedEngine(ecfg, cfg, dcfg, tree, params, dparams, num_slots=2)
+    eng_b = BatchedEngine(ecfg, cfg, dcfg, tree, params, dparams, num_slots=2)
+
+    def fill(eng):
+        reqs = [eng.prefill(jnp.asarray([i]), jnp.asarray([cfg.num_classes]),
+                            jax.random.key(40 + i)) for i in range(2)]
+        batch = eng.empty_batch(reqs[0])
+        for i, r in enumerate(reqs):
+            batch = eng.insert(batch, i, r)
+        return batch
+
+    ba = fill(eng_a)
+    for _ in range(4):
+        ba = eng_a.step(ba)
+    bb = fill(eng_b)
+    bb = eng_b.step_many(bb, 4)
+
+    na, sa, aa = eng_a.slot_status(ba)
+    nb, sb, ab = eng_b.slot_status(bb)
+    np.testing.assert_array_equal(na, nb)
+    np.testing.assert_array_equal(sa, sb)
+    np.testing.assert_array_equal(aa, ab)
+    for s in range(2):
+        np.testing.assert_array_equal(eng_a.slot_tokens(ba, s),
+                                      eng_b.slot_tokens(bb, s))
