@@ -105,6 +105,15 @@ def main():
     # (single-chip serving path; TP keeps split weights, see tfm.fuse_params)
     params = tfm.fuse_params(params)
     dparams = tfm.fuse_params(dparams)
+    # W8A16: halve the bytes streamed per decode step (ops/quant.py).  Both
+    # the AR baseline and the spec engine run the same quantized model, so
+    # vs_baseline stays an apples-to-apples acceptance/engine speedup.
+    QUANT = os.environ.get("BENCH_QUANT", "int8")
+    if QUANT == "int8":
+        from lantern_tpu.ops.quant import quantize_params
+
+        with jax.default_device(cpu):
+            params = quantize_params(params)
     params = jax.device_put(params, tpu)
     dparams = jax.device_put(dparams, tpu)
 
@@ -209,6 +218,7 @@ def main():
             "batched_tokens_per_s": (round(batched_tps, 2)
                                      if batched_tps else None),
             "batched_slots": R if batched_tps else None,
+            "weights": QUANT,
             "backend": jax.default_backend(),
         },
     }

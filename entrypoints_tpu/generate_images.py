@@ -43,6 +43,9 @@ def add_args(p):
     p.add_argument("--lantern", action="store_true")
     p.add_argument("--lantern-k", type=int, default=1000)
     p.add_argument("--lantern-delta", type=float, default=0.1)
+    p.add_argument("--quant", default=None, choices=[None, "int8"],
+                   help="weight-only quantization of the base model "
+                        "(W8A16; halves HBM weight streaming per step)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max-new", type=int, default=None)
     p.add_argument("--total-tokens", type=int, default=59,
@@ -106,6 +109,10 @@ def run(args):
     from PIL import Image
 
     sess = build_session(args)
+    if getattr(args, "quant", None) == "int8":
+        from lantern_tpu.ops.quant import quantize_params
+
+        sess.params = quantize_params(sess.params)
     if getattr(args, "total_tokens", 59) == -1 and sess.dcfg is not None:
         from lantern_tpu.engine.autotune import autotune_total_tokens
 

@@ -31,6 +31,7 @@ from ..configs import DrafterConfig, ModelConfig
 from ..kv import KVCache
 from ..trees import TreeSpec
 from ..ops import acceptance as acc
+from ..ops import quant
 from ..ops.sampling import LogitsWarp, cfg_combine, sample_token
 from ..models import drafter as drf
 from ..models import transformer as tfm
@@ -269,7 +270,7 @@ def make_static_step(
         rng, draft_rng = jax.random.split(state.rng)
         new_draft, dkv = drf.draft_static(
             ctx.dparams, dcfg, spec, ctx.drope, state.draft_kv, root_hidden,
-            ctx.params["lm_head"], ecfg.cfg_scale, ecfg.warp, draft_rng,
+            quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.warp, draft_rng,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
             logits_fn=ctx.logits_fn,
         )
@@ -301,7 +302,7 @@ def make_dynamic_step(
 
         new_draft, dkv = drf.draft_dynamic(
             ctx.dparams, dcfg, ctx.drope, state.draft_kv, root_hidden,
-            state.root_token, ctx.params["lm_head"], ecfg.cfg_scale, ecfg.warp,
+            state.root_token, quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.warp,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
             logits_fn=ctx.logits_fn,
         )
@@ -422,14 +423,14 @@ def prefill_request(
     if ecfg.mode == "static":
         draft, draft_kv = drf.draft_static(
             ctx.dparams, dcfg, spec, drope, dk, root_hidden,
-            ctx.params["lm_head"], ecfg.cfg_scale, ecfg.warp, draft_rng,
+            quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.warp, draft_rng,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
             logits_fn=ctx.logits_fn,
         )
     else:
         draft, draft_kv = drf.draft_dynamic(
             ctx.dparams, dcfg, drope, dk, root_hidden, t0,
-            ctx.params["lm_head"], ecfg.cfg_scale, ecfg.warp,
+            quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.warp,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
             logits_fn=ctx.logits_fn,
         )

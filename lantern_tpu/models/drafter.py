@@ -107,7 +107,9 @@ def _head_logits(
     (Chameleon families, cnets_anole.py:837); ``logits_fn`` applies the
     position-indexed constraints inside the drafter (Lumina,
     cnets_lumina_mgpt.py:1187-1224)."""
-    logits = (hidden @ base_lm_head).astype(jnp.float32)
+    from ..ops.quant import head_matmul
+
+    logits = head_matmul(hidden, base_lm_head)
     logits = cfg_combine(logits, cfg_scale)[0]
     if logits_mask is not None:
         logits = jnp.where(logits_mask, jnp.finfo(jnp.float32).min, logits)

@@ -32,6 +32,7 @@ import numpy as np
 
 from ..configs import ModelConfig
 from ..kv import GRP, KVCache, ungroup_cache
+from ..ops.quant import has_kernel, mm
 from ..ops.rope import (
     apply_rope_half,
     apply_rope_interleaved,
@@ -176,7 +177,14 @@ def token_embed(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def logits_head(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
-    return (hidden @ params["lm_head"]).astype(jnp.float32)
+    if "lm_head" in params:
+        return (hidden @ params["lm_head"]).astype(jnp.float32)
+    # W8A16 serving path (ops/quant.py): int8 head + per-column scale
+    from ..ops.quant import int8_matmul
+
+    return int8_matmul(
+        hidden, params["lm_head_q"], params["lm_head_s"], out_dtype=jnp.float32
+    )
 
 
 def build_mask(
@@ -301,15 +309,15 @@ def forward(
                 # drafter layer 0 feeds the fc-fused input straight into
                 # attention (cnets_llamagen.py:466-470)
                 x = jnp.where(idx == 0, h, x)
-        if "wqkv" in w:
-            y = x @ w["wqkv"]
+        if has_kernel(w, "wqkv"):
+            y = mm(x, w, "wqkv")
             q = y[..., : nh * hd].reshape(B, T, nh, hd)
             k = y[..., nh * hd: (nh + nkv) * hd].reshape(B, T, nkv, hd)
             v = y[..., (nh + nkv) * hd:].reshape(B, T, nkv, hd)
         else:
-            q = (x @ w["wq"]).reshape(B, T, nh, hd)
-            k = (x @ w["wk"]).reshape(B, T, nkv, hd)
-            v = (x @ w["wv"]).reshape(B, T, nkv, hd)
+            q = mm(x, w, "wq").reshape(B, T, nh, hd)
+            k = mm(x, w, "wk").reshape(B, T, nkv, hd)
+            v = mm(x, w, "wv").reshape(B, T, nkv, hd)
         if cfg.qk_norm:
             q = head_layer_norm(q, w["q_norm_w"], w["q_norm_b"], cfg.norm_eps)
             k = head_layer_norm(k, w["k_norm_w"], w["k_norm_b"], cfg.norm_eps)
@@ -345,7 +353,7 @@ def forward(
             o = jnp.einsum("bnts,bsnh->btnh", p_pre, v_cache_h.astype(jnp.float32))
             o = o + jnp.einsum("bntu,bunh->btnh", p_blk, v_h.astype(jnp.float32))
             o = o.astype(h.dtype)
-        attn_out = o.reshape(B, T, nh * hd) @ w["wo"]
+        attn_out = mm(o.reshape(B, T, nh * hd), w, "wo")
 
         if cfg.swin_norm:
             h1 = h + rms_norm(attn_out, w["attn_norm"], cfg.rms_norm_eps)
@@ -353,12 +361,13 @@ def forward(
         else:
             h1 = h + attn_out
             mlp_in = rms_norm(h1, w["ffn_norm"], cfg.rms_norm_eps)
-        if "w_gu" in w:
-            gu = mlp_in @ w["w_gu"]
+        if has_kernel(w, "w_gu"):
+            gu = mm(mlp_in, w, "w_gu")
             I = gu.shape[-1] // 2
-            mlp = (jax.nn.silu(gu[..., :I]) * gu[..., I:]) @ w["w_down"]
+            mlp = mm(jax.nn.silu(gu[..., :I]) * gu[..., I:], w, "w_down")
         else:
-            mlp = (jax.nn.silu(mlp_in @ w["w_gate"]) * (mlp_in @ w["w_up"])) @ w["w_down"]
+            mlp = mm(jax.nn.silu(mm(mlp_in, w, "w_gate")) * mm(mlp_in, w, "w_up"),
+                     w, "w_down")
         if cfg.swin_norm:
             mlp = rms_norm(mlp, w["ffn_norm"], cfg.rms_norm_eps)
         h2 = h1 + mlp

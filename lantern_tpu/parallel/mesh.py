@@ -39,9 +39,15 @@ def _divisible(n: int, mesh: Mesh) -> bool:
     return n % mesh.shape[TP] == 0
 
 
-def base_param_specs(cfg: ModelConfig, mesh: Mesh) -> dict:
+def base_param_specs(cfg: ModelConfig, mesh: Mesh, params: Optional[dict] = None) -> dict:
     """Megatron-style TP: q/k/v + FFN-in column-sharded, o + FFN-out
-    row-sharded, lm_head vocab-sharded, norms/embeddings replicated."""
+    row-sharded, lm_head vocab-sharded, norms/embeddings replicated.
+
+    When ``params`` is given, the specs mirror its actual layout — including
+    W8A16 entries (ops/quant.py): ``*_q`` int8 kernels shard like their dense
+    counterparts; ``*_s`` scales ([L, 1, N]) shard over the output column for
+    column-parallel kernels and replicate for row-parallel ones (the
+    per-column scale factors out of the row-parallel partial sums)."""
     heads_ok = _divisible(cfg.num_heads, mesh) and _divisible(cfg.num_kv_heads, mesh)
     ffn_ok = _divisible(cfg.intermediate_size, mesh)
     vocab_ok = _divisible(cfg.vocab_size, mesh)
@@ -72,7 +78,38 @@ def base_param_specs(cfg: ModelConfig, mesh: Mesh) -> dict:
         specs["cond"] = {"table": P(None, None)}
     elif cfg.cond_kind == "caption":
         specs["cond"] = {"fc1": P(None, None), "fc2": P(None, None), "uncond": P(None, None)}
+    if params is not None:
+        specs = _match_layout(specs, params)
     return specs
+
+
+def _match_layout(specs: dict, params: dict) -> dict:
+    """Rewrite a spec tree to mirror a params tree that may carry quantized
+    (``name_q``/``name_s``) entries or fused (wqkv / w_gu) kernels."""
+    fused = {  # fused kernels shard like their widest constituent
+        "wqkv": "wq", "w_gu": "w_gate",
+    }
+
+    def rewrite(spec_d: dict, par_d: dict) -> dict:
+        out = {}
+        for key, val in par_d.items():
+            if isinstance(val, dict):
+                out[key] = rewrite(spec_d.get(key, {}), val)
+                continue
+            base = key[:-2] if key.endswith(("_q", "_s")) else key
+            ref = spec_d.get(base, spec_d.get(fused.get(base, base)))
+            if ref is None:
+                ref = P(*([None] * val.ndim))
+            if key.endswith("_s"):
+                # scale [.., 1, N]: keep only the output-column sharding
+                axes = list(ref)
+                if len(axes) >= 2:
+                    axes[-2] = None
+                ref = P(*axes)
+            out[key] = ref
+        return out
+
+    return rewrite(specs, params)
 
 
 def drafter_param_specs(dparams: dict) -> dict:
