@@ -114,6 +114,10 @@ def main():
 
         with jax.default_device(cpu):
             params = quantize_params(params)
+            # drafter too: its per-level forwards re-stream fc+layer weights
+            # depth x per step (proposal quality, not correctness, is the
+            # only thing int8 could shift — and it's per-channel mild)
+            dparams = quantize_params(dparams)
     params = jax.device_put(params, tpu)
     dparams = jax.device_put(dparams, tpu)
 

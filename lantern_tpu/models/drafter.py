@@ -59,9 +59,11 @@ def init_drafter_params(rng: jax.Array, dcfg: DrafterConfig, embed: jnp.ndarray)
 
 def fuse_inputs(params: dict, tokens: jnp.ndarray, hidden: jnp.ndarray) -> jnp.ndarray:
     """fc([embed(tokens), hidden]) (cnets_llamagen.py:680)."""
+    from ..ops.quant import mm
+
     emb = params["embed"][tokens].astype(hidden.dtype)
     x = jnp.concatenate([emb, hidden], axis=-1)
-    return x @ params["fc_w"] + params["fc_b"]
+    return mm(x, params, "fc_w") + params["fc_b"]
 
 
 def extend(

@@ -173,6 +173,10 @@ def quantize_params(params: dict, quantize_head: bool = True) -> dict:
             layers[name + "_q"] = q
             layers[name + "_s"] = s
     p["layers"] = layers
+    if "fc_w" in p:   # drafter input-fusion projection (models/drafter.py)
+        q, s = quantize_weight(p.pop("fc_w"))
+        p["fc_w_q"] = q
+        p["fc_w_s"] = s
     if quantize_head and "lm_head" in p:
         q, s = quantize_weight(p.pop("lm_head"))
         p["lm_head_q"] = q

@@ -134,7 +134,10 @@ def test_tp_specs_cover_quantized_layout(tiny):
 def test_quantized_spec_engine_lossless_vs_quantized_ar(tiny):
     cfg, params = tiny
     dcfg = configs.drafter_config(cfg, total_tokens=12, depth=3, top_k=4)
-    dparams = drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
+    dparams = quant.quantize_params(
+        drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
+    )
+    assert "fc_w_q" in dparams and "fc_w" not in dparams
     qp = quant.quantize_params(params)
     MAX_NEW = 12
     res_ar = ar.generate(
