@@ -34,6 +34,9 @@ def main():
                     help="drafter decoder layers (reference cnets use 1; "
                     "2 lifts top-1 acceptance for ~0.1ms extra draft cost)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--eval-rollouts", type=int, default=3,
+                    help="post-train self-rollout spec decodes to measure "
+                    "step compression (0 = skip)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcache")
@@ -170,6 +173,39 @@ def main():
     }, fc_w=save["fc_w"], fc_b=save["fc_b"],
         num_layers=np.int64(args.layers))
     note(f"saved {out}.npz")
+
+    # ---- phase 3: self-rollout compression (the decision metric) ----------
+    # Teacher-forced top-k accuracy overstates weak drafters and understates
+    # distribution shift (the drafter consumes its own hidden states at
+    # depth>1), so measure what the bench measures: accepted tokens per
+    # verify step over a few full spec-decode rollouts.
+    if args.eval_rollouts > 0:
+        from lantern_tpu import trees
+        from lantern_tpu.engine import spec
+        from lantern_tpu.ops.acceptance import LanternSpec
+        from lantern_tpu.ops.vq_distance import nearest_latents
+
+        with jax.default_device(cpu):
+            cb = jax.random.normal(jax.random.key(3), (cfg.vocab_size, 8))
+            params["nearest_latents"] = jnp.asarray(nearest_latents(cb, k=11))
+        tree = trees.get_tree("naive_extend_57")
+        ecfg = spec.SpecDecodeConfig(
+            warp=warp, cfg_scale=3.0, lantern=LanternSpec(k=10, delta=5.0),
+            max_new=T_img, mode="static",
+        )
+        acc_sum = step_sum = 0.0
+        for i in range(args.eval_rollouts):
+            key = jax.random.key(5000 + i)
+            cond = jax.random.normal(jax.random.fold_in(key, 0),
+                                     (1, Tc, cfg.caption_dim))
+            uncond = params["cond"]["uncond"][None].astype(cond.dtype)
+            res = spec.generate(params, state.dparams, ecfg, cfg, dcfg, tree,
+                                cond, uncond, jax.random.fold_in(key, 1))
+            acc_sum += float(res.accept_sum)
+            step_sum += float(res.steps)
+            note(f"rollout {i}: compression so far {acc_sum / max(step_sum, 1):.3f}")
+        note(f"self-rollout step_compression = {acc_sum / max(step_sum, 1):.4f} "
+             f"({args.eval_rollouts} rollouts, lantern k=10 d=5)")
 
 
 if __name__ == "__main__":
