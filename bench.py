@@ -101,18 +101,22 @@ def main():
     with jax.default_device(cpu):
         cb = jax.random.normal(jax.random.key(3), (cfg.vocab_size, 8))
         params["nearest_latents"] = jnp.asarray(nearest_latents(cb, k=LK + 1))
-    # fused QKV / gate-up layouts: fewer, longer weight streams per layer
-    # (single-chip serving path; TP keeps split weights, see tfm.fuse_params)
-    params = tfm.fuse_params(params)
-    dparams = tfm.fuse_params(dparams)
     # W8A16: halve the bytes streamed per decode step (ops/quant.py).  Both
     # the AR baseline and the spec engine run the same quantized model, so
     # vs_baseline stays an apples-to-apples acceptance/engine speedup.
     QUANT = os.environ.get("BENCH_QUANT", "int8")
-    if QUANT == "int8":
-        from lantern_tpu.ops.quant import quantize_params
+    if QUANT not in ("int8", "none"):
+        raise SystemExit(f"BENCH_QUANT must be 'int8' or 'none', got {QUANT!r}")
+    with jax.default_device(cpu):
+        # fused QKV / gate-up layouts: fewer, longer weight streams per layer
+        # (single-chip serving; TP keeps split weights, see tfm.fuse_params).
+        # Fuse AND quantize on host — doing either on the default (remote
+        # TPU) backend round-trips the full weight set through the tunnel.
+        params = tfm.fuse_params(params)
+        dparams = tfm.fuse_params(dparams)
+        if QUANT == "int8":
+            from lantern_tpu.ops.quant import quantize_params
 
-        with jax.default_device(cpu):
             params = quantize_params(params)
             # drafter too: its per-level forwards re-stream fc+layer weights
             # depth x per step (proposal quality, not correctness, is the
@@ -222,7 +226,9 @@ def main():
             "batched_tokens_per_s": (round(batched_tps, 2)
                                      if batched_tps else None),
             "batched_slots": R if batched_tps else None,
-            "weights": QUANT,
+            "weights": QUANT + (
+                ":" + os.environ.get("LANTERN_INT8_IMPL", "xla")
+                if QUANT == "int8" else ""),
             "backend": jax.default_backend(),
         },
     }

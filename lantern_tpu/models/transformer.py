@@ -177,14 +177,9 @@ def token_embed(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def logits_head(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
-    if "lm_head" in params:
-        return (hidden @ params["lm_head"]).astype(jnp.float32)
-    # W8A16 serving path (ops/quant.py): int8 head + per-column scale
-    from ..ops.quant import int8_matmul
+    from ..ops.quant import head_matmul, head_of
 
-    return int8_matmul(
-        hidden, params["lm_head_q"], params["lm_head_s"], out_dtype=jnp.float32
-    )
+    return head_matmul(hidden, head_of(params))
 
 
 def build_mask(

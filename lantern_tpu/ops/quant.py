@@ -93,9 +93,15 @@ def int8_matmul_pallas(
     Mp = max(16, -(-M // 16) * 16)
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    # lane-dim blocks must stay 128-aligned for Mosaic; if N has no aligned
+    # divisor <= block_n, take the whole row in one block (N itself may be
+    # unaligned only in tiny test configs, where one block is fine anyway)
     bn = min(block_n, N)
-    while N % bn:
-        bn //= 2
+    while N % bn or (bn % 128 and bn != N):
+        bn -= 128 if bn > 128 else bn  # step down by lanes; 0 -> whole row
+        if bn <= 0:
+            bn = N
+            break
     out = pl.pallas_call(
         _mm_kernel,
         grid=(N // bn,),

@@ -183,11 +183,20 @@ def main():
         from lantern_tpu import trees
         from lantern_tpu.engine import spec
         from lantern_tpu.ops.acceptance import LanternSpec
+        from lantern_tpu.ops.quant import quantize_params
         from lantern_tpu.ops.vq_distance import nearest_latents
 
+        eval_dparams = state.dparams
         with jax.default_device(cpu):
             cb = jax.random.normal(jax.random.key(3), (cfg.vocab_size, 8))
             params["nearest_latents"] = jnp.asarray(nearest_latents(cb, k=11))
+            # evaluate in the bench's default weight format (int8) so the
+            # number steers decisions the bench actually reproduces
+            if os.environ.get("BENCH_QUANT", "int8") == "int8":
+                params = jax.device_put(quantize_params(
+                    jax.device_put(params, cpu)), tpu)
+                eval_dparams = jax.device_put(quantize_params(
+                    jax.device_put(eval_dparams, cpu)), tpu)
         tree = trees.get_tree("naive_extend_57")
         ecfg = spec.SpecDecodeConfig(
             warp=warp, cfg_scale=3.0, lantern=LanternSpec(k=10, delta=5.0),
@@ -199,7 +208,7 @@ def main():
             cond = jax.random.normal(jax.random.fold_in(key, 0),
                                      (1, Tc, cfg.caption_dim))
             uncond = params["cond"]["uncond"][None].astype(cond.dtype)
-            res = spec.generate(params, state.dparams, ecfg, cfg, dcfg, tree,
+            res = spec.generate(params, eval_dparams, ecfg, cfg, dcfg, tree,
                                 cond, uncond, jax.random.fold_in(key, 1))
             acc_sum += float(res.accept_sum)
             step_sum += float(res.steps)

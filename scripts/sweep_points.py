@@ -81,8 +81,17 @@ def main():
             for k in z.files if k.startswith("layers.")
         }
         note(f"loaded trained drafter {ckpt}")
-    params = tfm.fuse_params(params)
-    dparams = tfm.fuse_params(dparams)
+    # match bench.py's default weight format (BENCH_QUANT) so the chosen
+    # (k, delta) point is selected under the configuration the bench runs
+    QUANT = os.environ.get("BENCH_QUANT", "int8")
+    with jax.default_device(cpu):
+        params = tfm.fuse_params(params)
+        dparams = tfm.fuse_params(dparams)
+        if QUANT == "int8":
+            from lantern_tpu.ops.quant import quantize_params
+
+            params = quantize_params(params)
+            dparams = quantize_params(dparams)
     params = jax.device_put(params, tpu)
     dparams = jax.device_put(dparams, tpu)
 

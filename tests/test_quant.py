@@ -116,9 +116,13 @@ def test_tp_specs_cover_quantized_layout(tiny):
     # every param leaf has a spec leaf of matching tree path
     jax.tree.map(lambda a, s: None, qp, specs)  # raises on structure mismatch
     ly = specs["layers"]
-    assert ly["wq_q"] == ly.get("wq", ly["wq_q"])
+    # int8 kernels shard exactly like their dense counterparts
+    dense = pmesh.base_param_specs(cfg, m)
+    assert ly["wq_q"] == dense["layers"]["wq"]
+    assert ly["w_down_q"] == dense["layers"]["w_down"]
+    assert specs["lm_head_q"] == dense["lm_head"]
     # scales: column-parallel keeps the N axis sharding of the kernel
-    assert ly["wq_s"][-1] == ly["wq_q"][-1]
+    assert ly["wq_s"] == P(None, None, pmesh.TP)
     # row-parallel scale must not shard its singleton K axis
     assert ly["w_down_s"][-2] is None
     assert specs["lm_head_s"][-1] == specs["lm_head_q"][-1]
