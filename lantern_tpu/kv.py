@@ -36,7 +36,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax._src.interpreters import ad as _ad
-from jax._src.interpreters import batching as _batching
 
 from .configs import ModelConfig
 from .ops.pallas import kv_update as _kvu
@@ -47,9 +46,11 @@ GRP = 128   # lane-group width (TPU minor-dim tile)
 # shapes allow (XLA's dynamic_update_slice copies the full multi-GB buffer per
 # step; the kernel moves ~3x the block instead).  "never": always
 # dynamic_update_slice.  "interpret": force the kernel in pallas interpret
-# mode (CPU tests).  The kernel has no batching or autodiff rule, so vmapped
-# (engine/batch.py) and grad (train) callers fall back automatically; sharded
-# multi-chip caches should go through shard_map before enabling this.
+# mode (CPU tests).  vmapped callers (engine/batch.py request slots) route
+# through a custom_vmap rule that runs ONE stacked kernel over the [R, L]
+# planes with per-slot starts — a full-buffer dus copy per step at R slots
+# costs more than the whole forward.  Autodiff (train) callers fall back;
+# sharded multi-chip caches should go through shard_map before enabling this.
 PALLAS_WRITE = "auto"
 
 
@@ -61,11 +62,59 @@ def _pallas_write_ok(cache: "KVCache", *new) -> tuple[bool, bool]:
     if not interpret and jax.default_backend() not in ("tpu", "axon"):
         return False, False
     for a in (cache.k, cache.v, cache.length, *new):
-        if isinstance(a, (_batching.BatchTracer, _ad.JVPTracer, _ad.LinearizeTracer)):
+        # batching is handled by the custom_vmap rule below; AD is not
+        if isinstance(a, (_ad.JVPTracer, _ad.LinearizeTracer)):
             return False, False
     if not _kvu.supports(cache.k.shape, new[0].shape):
         return False, False
     return True, interpret
+
+
+def _write_cv(interpret: bool):
+    """custom_vmap-wrapped kernel write, cached per interpret mode.
+
+    The unbatched primal is the plain aliased DMA kernel; under vmap the
+    rule flattens the request axis into the layer-plane grid ([R, L, ...] ->
+    [R*L, ...]) and hands the kernel a per-slot start vector — one kernel
+    launch for the whole batch, still moving only ~3x the block bytes."""
+    try:
+        return _write_cv._cache[interpret]
+    except (AttributeError, KeyError):
+        pass
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def write(k, v, kn, vn, start):
+        return _kvu.write_block(k, v, kn, vn, start, interpret=interpret)
+
+    @write.def_vmap
+    def _rule(axis_size, in_batched, k, v, kn, vn, start):  # noqa: ANN001
+        kb, vb, knb, vnb, sb = in_batched
+
+        def bc(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x[None], (axis_size,) + jnp.shape(x))
+
+        k, v, kn, vn = bc(k, kb), bc(v, vb), bc(kn, knb), bc(vn, vnb)
+        s = jnp.asarray(start, jnp.int32).reshape(-1)
+        s = jnp.broadcast_to(s, (axis_size,))
+        R, L = k.shape[0], k.shape[1]
+
+        def flat(a):
+            return a.reshape((R * L,) + a.shape[2:])
+
+        ko, vo = _kvu.write_block(flat(k), flat(v), flat(kn), flat(vn), s,
+                                  interpret=interpret)
+
+        def unflat(a):
+            return a.reshape((R, L) + a.shape[1:])
+
+        return (unflat(ko), unflat(vo)), (True, True)
+
+    cache = getattr(_write_cv, "_cache", {})
+    cache[interpret] = write
+    _write_cv._cache = cache
+    return write
 
 
 def group_dims(n_kv: int, head_dim: int) -> tuple[int, int]:
@@ -151,7 +200,7 @@ class KVCache:
         s = self.length + jnp.asarray(offset, jnp.int32)
         use_kernel, interpret = _pallas_write_ok(self, kg, vg)
         if use_kernel:
-            k, v = _kvu.write_block(self.k, self.v, kg, vg, s, interpret=interpret)
+            k, v = _write_cv(interpret)(self.k, self.v, kg, vg, s)
         else:
             z = jnp.zeros((), jnp.int32)
             k = jax.lax.dynamic_update_slice(self.k, kg, (z, z, z, s, z))
@@ -180,8 +229,8 @@ class KVCache:
         v_rows = jnp.take(self.v, abs_idx, axis=3)
         use_kernel, interpret = _pallas_write_ok(self, k_rows, v_rows)
         if use_kernel:
-            k, v = _kvu.write_block(
-                self.k, self.v, k_rows, v_rows, self.length, interpret=interpret
+            k, v = _write_cv(interpret)(
+                self.k, self.v, k_rows, v_rows, self.length
             )
         else:
             at = (z, z, z, self.length, z)

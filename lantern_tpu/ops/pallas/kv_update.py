@@ -52,13 +52,13 @@ def supports(buf_shape, new_shape) -> bool:
     return W % 128 == 0 and S % ALIGN == 0 and S >= Tp + ALIGN
 
 
-def _make_kernel(B, G, S, W, Tp, T_logical, bb):
+def _make_kernel(B, G, S, W, Tp, T_logical, bb, layers_per_start):
     Tw = Tp + ALIGN
 
     def _kernel(start_ref, kn, vn, kin, vin, kout, vout, scr_o, scr_n, sem_o, sem_n):
         l = pl.program_id(0)
         b0 = pl.program_id(1) * bb
-        start = start_ref[0]
+        start = start_ref[l // layers_per_start]
         s0a = jnp.minimum((start // ALIGN) * ALIGN, S - Tw)
         s0a = pl.multiple_of(s0a, ALIGN)
         off = start - s0a
@@ -93,7 +93,9 @@ def write_block(
     v_buf: jnp.ndarray,   # [L, B, G, S, W]
     k_new: jnp.ndarray,   # [L, B, G, T, W] same dtype as buf
     v_new: jnp.ndarray,
-    start: jnp.ndarray,   # [] int32
+    start: jnp.ndarray,   # [] int32, or [R] with L = R * layers (stacked
+                          # caches, e.g. vmapped request slots — each group
+                          # of ``layers`` leading planes gets its own start)
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """In-place ``buf[..., start:start+T, :] = new`` for K and V; returns the
@@ -104,6 +106,10 @@ def write_block(
             f"write_block: unsupported shapes buf={k_buf.shape} new={k_new.shape}"
         )
     L, B, G, S, W = k_buf.shape
+    starts = jnp.reshape(jnp.asarray(start, jnp.int32), (-1,))
+    R = starts.shape[0]
+    if L % R:
+        raise ValueError(f"write_block: {R} starts don't tile {L} planes")
     T = k_new.shape[-2]
     Tp = -(-T // ALIGN) * ALIGN
     if Tp != T:
@@ -120,7 +126,7 @@ def write_block(
         bb //= 2
     while B % bb:
         bb -= 1
-    kern = _make_kernel(B, G, S, W, Tp, T, bb)
+    kern = _make_kernel(B, G, S, W, Tp, T, bb, L // R)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -156,4 +162,4 @@ def write_block(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.reshape(start.astype(jnp.int32), (1,)), k_new, v_new, k_buf, v_buf)
+    )(starts, k_new, v_new, k_buf, v_buf)

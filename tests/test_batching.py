@@ -182,3 +182,53 @@ def test_step_many_equals_repeated_step(setup):
     for s in range(2):
         np.testing.assert_array_equal(eng_a.slot_tokens(ba, s),
                                       eng_b.slot_tokens(bb, s))
+
+
+def test_batched_engine_through_stacked_write_kernel():
+    """End-to-end batched decode with the pallas in-place write kernel active
+    (interpret mode): tokens must match the dus fallback exactly.  Uses a
+    kernel-eligible layout (n_kv * head_dim % 128 == 0) — the tiny fixture
+    config falls back, so this is the only CPU coverage of the custom_vmap
+    stacked-write path inside the real engine."""
+    import lantern_tpu.kv as kvmod
+
+    cfg = configs.ModelConfig(
+        vocab_size=128, hidden_size=256, num_layers=2, num_heads=2,
+        num_kv_heads=2, intermediate_size=256, max_seq_len=128,
+        dtype="float32", cond_kind="label", num_classes=10, block_size=16,
+        cls_token_num=1,
+    )
+    dcfg = configs.drafter_config(cfg, total_tokens=8, depth=2, top_k=3)
+    params = tfm.init_params(jax.random.key(0), cfg)
+    dparams = drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
+    ecfg = spec.SpecDecodeConfig(
+        warp=LogitsWarp(temperature=0.0), cfg_scale=2.0,
+        max_new=8, mode="static",
+    )
+    tree = trees.get_tree("mc_sim_7b_63")
+
+    def run_batched():
+        eng = BatchedEngine(ecfg, cfg, dcfg, tree, params, dparams,
+                            num_slots=2)
+        reqs = [eng.prefill(jnp.asarray([lbl]), jnp.asarray([cfg.num_classes]),
+                            jax.random.key(7)) for lbl in (3, 5)]
+        batch = eng.empty_batch(reqs[0])
+        for i, r in enumerate(reqs):
+            batch = eng.insert(batch, i, r)
+        for _ in range(16):
+            batch = eng.step(batch)
+            n_new, _, _ = eng.slot_status(batch)
+            if (n_new >= 8).all():
+                break
+        return [np.asarray(eng.slot_tokens(batch, i))[:8] for i in range(2)]
+
+    prev = kvmod.PALLAS_WRITE
+    try:
+        kvmod.PALLAS_WRITE = "never"
+        ref = run_batched()
+        kvmod.PALLAS_WRITE = "interpret"
+        got = run_batched()
+    finally:
+        kvmod.PALLAS_WRITE = prev
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a, b)

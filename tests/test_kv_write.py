@@ -74,8 +74,9 @@ def test_kvcache_write_and_accept_pallas_interpret(nano_cfg=None):
     assert int(got.length) == int(ref.length)
 
 
-def test_pallas_write_falls_back_under_vmap_and_grad():
-    """Batched / differentiated callers must not hit the aliased kernel."""
+def test_pallas_write_grad_falls_back_vmap_uses_stacked_kernel():
+    """Differentiated callers must not hit the aliased kernel; vmapped
+    callers route through the custom_vmap rule (one stacked kernel)."""
     from lantern_tpu.configs import ModelConfig
 
     cfg = ModelConfig(
@@ -99,5 +100,45 @@ def test_pallas_write_falls_back_under_vmap_and_grad():
         assert np.isfinite(float(g))
         out = jax.vmap(f)(jnp.arange(3, dtype=jnp.float32))
         assert out.shape == (3,)
+        np.testing.assert_allclose(np.asarray(out),
+                                   [float(f(s)) for s in range(3)])
     finally:
         kvmod.PALLAS_WRITE = prev
+
+
+def test_vmapped_write_per_slot_starts():
+    """Request-slot semantics (engine/batch.py): every slot writes its block
+    at its OWN length; the stacked kernel must match per-slot dus exactly."""
+    from lantern_tpu.configs import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=256, num_layers=2, num_heads=2,
+        num_kv_heads=2, intermediate_size=256, max_seq_len=192,
+        dtype="float32",
+    )
+    R, B, T = 3, 2, 17
+    key = jax.random.PRNGKey(1)
+    k_new = jax.random.normal(
+        key, (R, cfg.num_layers, B, T, cfg.num_kv_heads, cfg.head_dim))
+    v_new = k_new * 0.25
+    lengths = jnp.array([0, 13, 112], jnp.int32)
+    rel = jnp.array([2, 0, 5, 1], jnp.int32)
+
+    def one(kn, vn, length):
+        c = KVCache.create(cfg, B).commit(length)
+        c = c.write(kn, vn, advance=False, offset=0)
+        c = c.accept_path(rel, jnp.int32(3))
+        return c.k, c.v, c.length
+
+    prev = kvmod.PALLAS_WRITE
+    try:
+        kvmod.PALLAS_WRITE = "never"
+        refs = [one(k_new[i], v_new[i], lengths[i]) for i in range(R)]
+        kvmod.PALLAS_WRITE = "interpret"
+        got = jax.vmap(one)(k_new, v_new, lengths)
+    finally:
+        kvmod.PALLAS_WRITE = prev
+    for i in range(R):
+        np.testing.assert_array_equal(np.asarray(got[0][i]), refs[i][0])
+        np.testing.assert_array_equal(np.asarray(got[1][i]), refs[i][1])
+        assert int(got[2][i]) == int(refs[i][2])
