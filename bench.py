@@ -135,14 +135,16 @@ def main():
         np.asarray(res.tokens)
         return res
 
+    KVQ = os.environ.get("BENCH_KV", "none") == "int8"
+
     def run_ar(seed):
         return force(ar.generate(params, cfg, cond, uncond, IMAGE_TOKENS, 3.0,
-                                 warp, jax.random.key(seed)))
+                                 warp, jax.random.key(seed), kv_quant=KVQ))
 
     def make_spec(lantern):
         ecfg = spec.SpecDecodeConfig(
             warp=warp, cfg_scale=3.0, lantern=lantern,
-            max_new=IMAGE_TOKENS, mode="static",
+            max_new=IMAGE_TOKENS, mode="static", kv_quant=KVQ,
         )
 
         def run(seed):
@@ -180,7 +182,7 @@ def main():
 
             ecfg_b = spec.SpecDecodeConfig(
                 warp=warp, cfg_scale=3.0, lantern=LanternSpec(k=LK, delta=LD),
-                max_new=IMAGE_TOKENS, mode="static",
+                max_new=IMAGE_TOKENS, mode="static", kv_quant=KVQ,
             )
             eng = BatchedEngine(ecfg_b, cfg, dcfg, tree, params, dparams,
                                 num_slots=R)
@@ -229,6 +231,7 @@ def main():
             "weights": QUANT + (
                 ":" + os.environ.get("LANTERN_INT8_IMPL", "xla")
                 if QUANT == "int8" else ""),
+            "kv": "int8" if KVQ else "bf16",
             "backend": jax.default_backend(),
         },
     }

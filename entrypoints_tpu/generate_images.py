@@ -46,6 +46,10 @@ def add_args(p):
     p.add_argument("--quant", default=None, choices=[None, "int8"],
                    help="weight-only quantization of the base model "
                         "(W8A16; halves HBM weight streaming per step)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV cache (halves KV HBM streaming; the "
+                        "dominant per-step traffic for long sequences and "
+                        "batched serving)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max-new", type=int, default=None)
     p.add_argument("--total-tokens", type=int, default=59,
@@ -136,6 +140,7 @@ def run(args):
             lantern_k=args.lantern_k if args.lantern else 0,
             lantern_delta=args.lantern_delta if args.lantern else 0.0,
             seed=args.seed + idx,
+            kv_quant=getattr(args, "kv_quant", False),
         )
         if sess.vq_params is not None:
             img = sess.decode_ids(toks)[0]

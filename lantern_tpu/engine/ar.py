@@ -25,7 +25,8 @@ class ARResult(NamedTuple):
     kv: KVCache
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new", "cfg_scale", "warp"))
+@partial(jax.jit, static_argnames=("cfg", "max_new", "cfg_scale", "warp",
+                                   "kv_quant"))
 def generate(
     params: dict,
     cfg: ModelConfig,
@@ -37,6 +38,7 @@ def generate(
     rng: jax.Array,
     rope=None,
     prefix_valid: Optional[jnp.ndarray] = None,   # [2, S] caption padding
+    kv_quant: bool = False,
 ) -> ARResult:
     """Greedy/sampled CFG AR generation for a single request (cond/uncond as
     batch rows [cond, uncond])."""
@@ -46,7 +48,7 @@ def generate(
 
     cond_pair = jnp.concatenate([cond, uncond], axis=0)
     embeds = tfm.cond_embed(params, cfg, cond_pair)
-    kv = KVCache.create(cfg, 2)
+    kv = KVCache.create(cfg, 2, quantized=kv_quant)
     if prefix_valid is not None and prefix_valid.shape[-1] != kv.max_len:
         prefix_valid = jnp.pad(
             prefix_valid, ((0, 0), (0, kv.max_len - prefix_valid.shape[-1])),
@@ -86,7 +88,7 @@ def generate(
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new", "cfg_scale", "warp",
-                                   "logits_fn"))
+                                   "logits_fn", "kv_quant"))
 def generate_tokens(
     params: dict,
     cfg: ModelConfig,
@@ -98,6 +100,7 @@ def generate_tokens(
     logits_mask: Optional[jnp.ndarray] = None,
     logits_fn=None,
     rope=None,
+    kv_quant: bool = False,
 ) -> ARResult:
     """Chameleon-family base-mode CFG AR loop over a token prompt.
 
@@ -122,7 +125,7 @@ def generate_tokens(
             logits = logits_fn(logits, cond_pos)
         return logits
 
-    kv = KVCache.create(cfg, 2)
+    kv = KVCache.create(cfg, 2, quantized=kv_quant)
     block = jnp.tril(jnp.ones((L, L), bool))[None] & tp.valid[:, None, :]
     res = tfm.forward(
         params, cfg, tfm.token_embed(params, tp.tokens), kv,

@@ -148,6 +148,7 @@ class LlamaGenSession:
         lantern_k: int = 0,
         lantern_delta: float = 0.0,
         seed: int = 0,
+        kv_quant: bool = False,
     ):
         cfg = self.cfg
         max_new = max_new or cfg.block_size
@@ -157,7 +158,8 @@ class LlamaGenSession:
         t0 = time.perf_counter()
         if mode == "ar" or self.dparams is None:
             res = ar.generate(self.params, cfg, cond, uncond, max_new,
-                              cfg_scale, warp, rng, prefix_valid=pv)
+                              cfg_scale, warp, rng, prefix_valid=pv,
+                              kv_quant=kv_quant)
             jax.block_until_ready(res.tokens)
             dt = time.perf_counter() - t0
             toks = np.asarray(res.tokens)
@@ -166,7 +168,7 @@ class LlamaGenSession:
         ecfg = spec.SpecDecodeConfig(
             warp=warp, cfg_scale=cfg_scale,
             lantern=LanternSpec(k=lantern_k, delta=lantern_delta),
-            max_new=max_new, mode=mode,
+            max_new=max_new, mode=mode, kv_quant=kv_quant,
         )
         tspec = trees.get_tree(tree) if mode == "static" else None
         res = spec.generate(
@@ -300,6 +302,7 @@ class ChameleonSession:
         lantern_k: int = 0,
         lantern_delta: float = 0.0,
         seed: int = 0,
+        kv_quant: bool = False,
     ):
         from .. import trees as trees_mod
         from ..models import chameleon as cham
@@ -325,6 +328,7 @@ class ChameleonSession:
             res = ar.generate_tokens(
                 self.params, cfg, tp, max_new, cfg_scale, warp,
                 jax.random.key(seed), logits_mask=mask, logits_fn=logits_fn,
+                kv_quant=kv_quant,
             )
             jax.block_until_ready(res.tokens)
             dt = time.perf_counter() - t0
@@ -332,7 +336,7 @@ class ChameleonSession:
         ecfg = spec.SpecDecodeConfig(
             warp=warp, cfg_scale=cfg_scale,
             lantern=LanternSpec(k=lantern_k, delta=lantern_delta),
-            max_new=max_new, mode=mode,
+            max_new=max_new, mode=mode, kv_quant=kv_quant,
         )
         tspec = trees.get_tree(tree) if mode == "static" else None
         res = spec.generate(

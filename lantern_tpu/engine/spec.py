@@ -46,6 +46,7 @@ class SpecDecodeConfig:
     lantern: acc.LanternSpec = acc.LanternSpec()
     max_new: int = 256
     mode: str = "static"            # "static" (EAGLE-1) | "dynamic" (EAGLE-2)
+    kv_quant: bool = False          # int8 base KV cache (kv.py quantized=True)
 
 
 class SpecState(NamedTuple):
@@ -336,7 +337,7 @@ def prefill_request(
         raise ValueError("lantern enabled but params lack 'nearest_latents'")
 
     pad = (spec.path_len if ecfg.mode == "static" else dcfg.depth + 2) + 1
-    base_kv = KVCache.create(cfg, 2)
+    base_kv = KVCache.create(cfg, 2, quantized=ecfg.kv_quant)
     dk = KVCache.create(dcfg.model, 2)
     S = base_kv.max_len
     if prefix_valid is not None and prefix_valid.shape[-1] != S:

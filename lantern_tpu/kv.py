@@ -132,6 +132,14 @@ def group_blocks(blocks: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(x, -2, -3)
 
 
+def ungroup_blocks(grouped: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``group_blocks``: [..., G, T, W] -> [..., T, n_kv, hd]...
+    up to the head split — returns [..., T, G*W] flattened heads; callers
+    reshape.  Used by the fake-quant round trip in transformer.forward."""
+    x = jnp.moveaxis(grouped, -3, -2)                # [..., T, G, W]
+    return x.reshape(*x.shape[:-2], -1)
+
+
 def ungroup_cache(buf: jnp.ndarray, n_kv: int, head_dim: int) -> jnp.ndarray:
     """[..., G, S, W] cache -> [..., S, n_kv, hd] (dense-path fallback)."""
     *lead, G, S, W = buf.shape
@@ -139,6 +147,11 @@ def ungroup_cache(buf: jnp.ndarray, n_kv: int, head_dim: int) -> jnp.ndarray:
     x = buf.reshape(*lead, G, S, pk, head_dim)
     x = jnp.moveaxis(x, -4, -3)                      # [..., S, G, pk, hd]
     return x.reshape(*lead, S, n_kv, head_dim)
+
+
+def dequant_cache(buf: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """int8 grouped cache [..., G, S, W] + scale [..., G, S] -> dtype."""
+    return (buf.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 def group_cache(buf: jnp.ndarray, head_dim: int | None = None) -> jnp.ndarray:
@@ -149,16 +162,44 @@ def group_cache(buf: jnp.ndarray, head_dim: int | None = None) -> jnp.ndarray:
     return jnp.moveaxis(x, -2, -3)
 
 
+def quantize_rows(grouped: jnp.ndarray):
+    """Symmetric int8 per-(…, row) quantization of grouped K/V blocks.
+
+    ``grouped``: [..., T, W] (group-major block layout).  Returns
+    ``(q int8 [..., T, W], scale f32 [..., T])`` with ``q * scale ~= x``.
+    One scale per 128-lane group row: exact per-head for head_dim 128
+    (Chameleon/Lumina), shared across the pk=2 sub-heads for head_dim 64.
+    """
+    xf = grouped.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    s = jnp.where(amax > 0, amax, 1.0) / 127.0
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def fake_quant_rows(grouped: jnp.ndarray) -> jnp.ndarray:
+    """quantize -> dequantize in the storage granularity (same dtype out).
+
+    The in-flight block of a forward attends to itself *before* it lands in
+    the cache; running it through the cache's exact quantizer keeps what a
+    token saw during verification bit-identical to what later steps read
+    back — greedy spec stays lossless vs AR with a quantized cache."""
+    q, s = quantize_rows(grouped)
+    return (q.astype(jnp.float32) * s[..., None]).astype(grouped.dtype)
+
+
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["k", "v", "length"],
+    data_fields=["k", "v", "length", "k_scale", "v_scale"],
     meta_fields=[],
 )
 @dataclasses.dataclass
 class KVCache:
-    k: jnp.ndarray        # [L, B, G, S, W]
+    k: jnp.ndarray        # [L, B, G, S, W]  (bf16/f32, or int8 when quantized)
     v: jnp.ndarray        # [L, B, G, S, W]
     length: jnp.ndarray   # int32 scalar: valid prefix length
+    k_scale: jnp.ndarray | None = None   # [L, B, G, S] f32 (int8 cache only)
+    v_scale: jnp.ndarray | None = None
 
     @property
     def max_len(self) -> int:
@@ -168,17 +209,24 @@ class KVCache:
     def group_width(self) -> int:
         return self.k.shape[4]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
     @staticmethod
-    def create(cfg: ModelConfig, batch: int, max_len: int | None = None, dtype=None) -> "KVCache":
+    def create(cfg: ModelConfig, batch: int, max_len: int | None = None,
+               dtype=None, quantized: bool = False) -> "KVCache":
         S = max_len or cfg.max_seq_len
         S = -(-S // 128) * 128     # pad to the flash kernel's block granularity
-        dt = dtype or cfg.jnp_dtype
+        dt = jnp.int8 if quantized else (dtype or cfg.jnp_dtype)
         G, W = group_dims(cfg.num_kv_heads, cfg.head_dim)
         shape = (cfg.num_layers, batch, G, S, W)
         return KVCache(
             k=jnp.zeros(shape, dt),
             v=jnp.zeros(shape, dt),
             length=jnp.zeros((), jnp.int32),
+            k_scale=jnp.zeros(shape[:-1], jnp.float32) if quantized else None,
+            v_scale=jnp.zeros(shape[:-1], jnp.float32) if quantized else None,
         )
 
     def reset(self) -> "KVCache":
@@ -195,8 +243,15 @@ class KVCache:
         attention sees it via an explicit block mask, and later writes
         overwrite it."""
         T = k_new.shape[2]
-        kg = group_blocks(k_new).astype(self.k.dtype)     # [L, B, G, T, W]
-        vg = group_blocks(v_new).astype(self.v.dtype)
+        kg = group_blocks(k_new)                          # [L, B, G, T, W]
+        vg = group_blocks(v_new)
+        if self.quantized:
+            kg, ks = quantize_rows(kg)
+            vg, vs = quantize_rows(vg)
+        else:
+            kg = kg.astype(self.k.dtype)
+            vg = vg.astype(self.v.dtype)
+            ks = vs = None
         s = self.length + jnp.asarray(offset, jnp.int32)
         use_kernel, interpret = _pallas_write_ok(self, kg, vg)
         if use_kernel:
@@ -206,7 +261,21 @@ class KVCache:
             k = jax.lax.dynamic_update_slice(self.k, kg, (z, z, z, s, z))
             v = jax.lax.dynamic_update_slice(self.v, vg, (z, z, z, s, z))
         length = self.length + (T if advance else 0)
-        return KVCache(k=k, v=v, length=jnp.asarray(length, jnp.int32))
+        return KVCache(
+            k=k, v=v, length=jnp.asarray(length, jnp.int32),
+            k_scale=self._put_scale(self.k_scale, ks, s),
+            v_scale=self._put_scale(self.v_scale, vs, s),
+        )
+
+    @staticmethod
+    def _put_scale(buf, rows, s):
+        """Scale-row update [L, B, G, T] -> [L, B, G, S] at position ``s``.
+        The scale planes are ~W times smaller than the cache, so a plain
+        dynamic_update_slice (full small-buffer copy) is cheap."""
+        if buf is None:
+            return None
+        z = jnp.zeros((), jnp.int32)
+        return jax.lax.dynamic_update_slice(buf, rows, (z, z, z, s))
 
     def commit(self, n: jnp.ndarray) -> "KVCache":
         """Advance length by a traced amount (rows must already be in place)."""
@@ -236,7 +305,17 @@ class KVCache:
             at = (z, z, z, self.length, z)
             k = jax.lax.dynamic_update_slice(self.k, k_rows, at)
             v = jax.lax.dynamic_update_slice(self.v, v_rows, at)
+        if self.quantized:
+            ks = self._put_scale(
+                self.k_scale, jnp.take(self.k_scale, abs_idx, axis=3),
+                self.length)
+            vs = self._put_scale(
+                self.v_scale, jnp.take(self.v_scale, abs_idx, axis=3),
+                self.length)
+        else:
+            ks = vs = None
         return KVCache(
             k=k, v=v,
             length=self.length + jnp.asarray(accept_count, jnp.int32),
+            k_scale=ks, v_scale=vs,
         )

@@ -31,7 +31,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import ModelConfig
-from ..kv import GRP, KVCache, ungroup_cache
+from ..kv import (
+    GRP,
+    KVCache,
+    dequant_cache,
+    fake_quant_rows,
+    group_blocks,
+    ungroup_blocks,
+    ungroup_cache,
+)
 from ..ops.quant import has_kernel, mm
 from ..ops.rope import (
     apply_rope_half,
@@ -269,6 +277,7 @@ def forward(
         and S % 128 == 0 and kv.group_width == GRP
         and jax.default_backend() == "tpu"
     )
+    kv_quant = kv.quantized
     if use_flash:
         from ..ops.pallas.tree_attention import tree_attention
 
@@ -293,7 +302,8 @@ def forward(
     lp = params["layers"]
 
     def layer(h, xs):
-        idx, w, k_cache, v_cache = xs   # k_cache/v_cache: [B, G, S, W] grouped
+        # k_cache/v_cache: [B, G, S, W] grouped; scales [B, G, S] or None
+        idx, w, k_cache, v_cache, k_sc, v_sc = xs
         # swin (post-norm) ordering: h += norm(attn(h)); h += norm(mlp(h))
         # (modeling_anole_kv.py:787-806); default is pre-norm LLaMA ordering.
         if cfg.swin_norm:
@@ -318,23 +328,40 @@ def forward(
             k = head_layer_norm(k, w["k_norm_w"], w["k_norm_b"], cfg.norm_eps)
         q = apply_rope(q, cos, sin, positions)
         k = apply_rope(k, cos, sin, positions)
+        if kv_quant:
+            # the in-flight block round-trips through the cache quantizer:
+            # what a token sees during its own verification forward is
+            # bit-identical to what later steps read back from the int8
+            # cache (keeps greedy spec lossless vs AR under KV quantization).
+            # The ORIGINAL k/v are returned for the cache write, whose
+            # quantize() yields exactly these dequantized values.
+            k_use = ungroup_blocks(fake_quant_rows(group_blocks(k))).reshape(
+                B, T, nkv, hd)
+            v_use = ungroup_blocks(fake_quant_rows(group_blocks(v))).reshape(
+                B, T, nkv, hd)
+        else:
+            k_use, v_use = k, v
 
         if use_flash:
             # grouped cache streams straight into the kernel — no transpose
             o = tree_attention(
-                q, k, v, k_cache, v_cache, kv.length, bm_raw, p_bias, scale,
+                q, k_use, v_use, k_cache, v_cache, kv.length, bm_raw, p_bias,
+                scale, k_scale=k_sc, v_scale=v_sc,
             ).astype(h.dtype)
         else:
+            if kv_quant:
+                k_cache = dequant_cache(k_cache, k_sc, dtype=h.dtype)
+                v_cache = dequant_cache(v_cache, v_sc, dtype=h.dtype)
             k_cache_u = ungroup_cache(k_cache, nkv, hd)   # [B, S, nkv, hd]
             v_cache_u = ungroup_cache(v_cache, nkv, hd)
             if nkv != nh:
                 rep = nh // nkv
                 k_cache_h = jnp.repeat(k_cache_u, rep, axis=2)
                 v_cache_h = jnp.repeat(v_cache_u, rep, axis=2)
-                k_h = jnp.repeat(k, rep, axis=2)
-                v_h = jnp.repeat(v, rep, axis=2)
+                k_h = jnp.repeat(k_use, rep, axis=2)
+                v_h = jnp.repeat(v_use, rep, axis=2)
             else:
-                k_cache_h, v_cache_h, k_h, v_h = k_cache_u, v_cache_u, k, v
+                k_cache_h, v_cache_h, k_h, v_h = k_cache_u, v_cache_u, k_use, v_use
 
             s_pre = jnp.einsum(
                 "btnh,bsnh->bnts", q, k_cache_h, preferred_element_type=jnp.float32
@@ -369,7 +396,8 @@ def forward(
         return h2, (k, v)
 
     hidden, (k_new, v_new) = jax.lax.scan(
-        layer, embeds, (jnp.arange(cfg.num_layers), lp, kv.k, kv.v)
+        layer, embeds,
+        (jnp.arange(cfg.num_layers), lp, kv.k, kv.v, kv.k_scale, kv.v_scale),
     )
     if cfg.final_norm:
         hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)

@@ -47,13 +47,19 @@ def _kernel(
     vn_ref,         # VMEM [T, GRP] new-block values
     mask_ref,       # VMEM [T, T] block (tree/causal) mask, 0/1
     bias_ref,       # VMEM [1, S_pad] additive prefix bias (0 / -inf)
-    k_hbm,          # HBM  [B, NP, S_pad, GRP] (whole array; sliced via DMA)
-    v_hbm,          # HBM  [B, NP, S_pad, GRP]
-    o_ref,          # VMEM [T, GRP] output
-    *,
+    *rest,          # [ks_ref, vs_ref,] k_hbm, v_hbm, o_ref — scale rows
+                    # ([1, S_pad] f32 per (b, g)) present iff scaled: the
+                    # cache streams as int8 and dequantizes against them
+                    # (K post-dot on scores, V folded into the probs)
     blk: int,
     pk: int,
+    scaled: bool = False,
 ):
+    if scaled:
+        ks_ref, vs_ref, k_hbm, v_hbm, o_ref = rest
+    else:
+        k_hbm, v_hbm, o_ref = rest
+        ks_ref = vs_ref = None
     T, G = q_ref.shape
     hd = G // pk
     b = pl.program_id(0)
@@ -103,6 +109,9 @@ def _kernel(
             col = jax.lax.broadcasted_iota(jnp.int32, (T, blk), 1) + j * blk
             colmask = col < length
             bias = bias_ref[0, pl.ds(j * blk, blk)][None, :]
+            if scaled:
+                ks = ks_ref[0, pl.ds(j * blk, blk)][None, :]  # [1, blk]
+                vs = vs_ref[0, pl.ds(j * blk, blk)][None, :]
 
             ms2, ls2, accs2 = [], [], []
             for p in range(pk):
@@ -110,13 +119,17 @@ def _kernel(
                     qp[p], k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                              # [T, blk]
+                if scaled:
+                    # per-key dequant factors out of the q.k dot
+                    s = s * ks
                 s = jnp.where(colmask, s, NEG_INF) + bias
                 m_new = jnp.maximum(ms[p], jnp.max(s, axis=1, keepdims=True))
                 pr = jnp.exp(s - m_new)
                 sc = jnp.exp(ms[p] - m_new)
                 ls2.append(ls[p] * sc + jnp.sum(pr, axis=1, keepdims=True))
                 accs2.append(accs[p] * sc + jax.lax.dot_general(
-                    pr, v, (((1,), (0,)), ((), ())),
+                    # per-value dequant folds into the probabilities
+                    pr * vs if scaled else pr, v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ))                                             # [T, G]
                 ms2.append(m_new)
@@ -171,10 +184,14 @@ def tree_attention(
     scale: float,
     blk: int = 256,
     interpret: bool = False,
+    k_scale: jnp.ndarray | None = None,   # [B, G, S] f32: int8 cache scales
+    v_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Flash tree-attention over [committed prefix | new block].  The cache
     arrives in its storage layout (head-group-major, see kv.py) and is
-    streamed as-is — no transposes.  Returns [B, T, nh, hd] in q's dtype."""
+    streamed as-is — no transposes; an int8 cache (kv.py quantized=True)
+    streams as int8 and dequantizes in-kernel against ``k_scale``/``v_scale``
+    rows.  Returns [B, T, nh, hd] in q's dtype."""
     B, T, nh, hd = q.shape
     _, NP, S, W = k_cache.shape
     if W != GRP or GRP % hd or nh % (GRP // hd) or NP != nh * hd // GRP:
@@ -200,38 +217,53 @@ def tree_attention(
     bias = prefix_bias.astype(jnp.float32)[:, None, :]               # [B, 1, S]
     lens = jnp.broadcast_to(
         jnp.asarray(length, jnp.int32).reshape(-1), (B,))            # [B]
+    scaled = k_scale is not None
+
+    in_specs = [
+        pl.BlockSpec((None, None, T, GRP), lambda b, g, *_: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, None, T, GRP), lambda b, g, *_: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, None, T, GRP), lambda b, g, *_: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, T, T), lambda b, g, *_: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, 1, S), lambda b, g, *_: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [lens, qs, kns, vns, mask, bias]
+    if scaled:
+        # scale rows [B, G, S] -> [B, G, 1, S]; one [1, S] row per (b, g)
+        in_specs += [
+            pl.BlockSpec((None, None, 1, S), lambda b, g, *_: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 1, S), lambda b, g, *_: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [k_scale.astype(jnp.float32)[:, :, None, :],
+                 v_scale.astype(jnp.float32)[:, :, None, :]]
+    # ANY (HBM) refs: whole array, trivial index map (mosaic requirement);
+    # the kernel DMAs the per-cell slice itself
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pl.ANY)]
+    args += [kcs, vcs]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, NP),
-        in_specs=[
-            pl.BlockSpec((None, None, T, GRP), lambda b, g, *_: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, T, GRP), lambda b, g, *_: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, T, GRP), lambda b, g, *_: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, T, T), lambda b, g, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, S), lambda b, g, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # ANY (HBM) refs: whole array, trivial index map (mosaic
-            # requirement); the kernel DMAs the per-cell slice itself
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((None, None, T, GRP),
                                lambda b, g, *_: (b, g, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
-    kernel = functools.partial(_kernel, blk=blk, pk=pk)
+    kernel = functools.partial(_kernel, blk=blk, pk=pk, scaled=scaled)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, NP, T, GRP), q.dtype),
         interpret=interpret,
-    )(lens, qs, kns, vns, mask, bias, kcs, vcs)
+    )(*args)
     return out.swapaxes(1, 2).reshape(B, T, nh, hd)
 
 

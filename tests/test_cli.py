@@ -60,7 +60,8 @@ def test_generate_images_int8(tmp_path):
     out_dir = str(tmp_path / "images_q")
     r = cli("generate_images", "--model-size", "nano", "--random-weights",
             "--prompts", "a tiny test", "--output-dir", out_dir,
-            "--quant", "int8", "--temperature", "0", "--max-new", "64")
+            "--quant", "int8", "--kv-quant",
+            "--temperature", "0", "--max-new", "64")
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(out_dir, "prompt_0.png"))
 
