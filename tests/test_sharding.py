@@ -72,3 +72,44 @@ def test_param_specs_cover_tree(setup):
         jax.tree_util.tree_leaves_with_path(shardings),
     ):
         assert len(sh.spec) <= leaf.ndim, (pth, sh.spec, leaf.shape)
+
+
+def test_batched_engine_with_tp_sharded_params(setup):
+    """Production serving config: the batched (vmapped-slot) engine over
+    TP-sharded base weights — tokens must match the unsharded batched run."""
+    from lantern_tpu.engine.batch import BatchedEngine
+
+    cfg, dcfg, params, dparams = setup
+    ecfg = spec_engine.SpecDecodeConfig(
+        warp=LogitsWarp(temperature=0.0), cfg_scale=2.0, max_new=10,
+        mode="static",
+    )
+    tree = trees.get_tree("mc_sim_7b_63")
+
+    def run_batched(p, d, mesh=None):
+        import contextlib
+
+        ctx = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+        with ctx:
+            eng = BatchedEngine(ecfg, cfg, dcfg, tree, p, d, num_slots=2)
+            reqs = [eng.prefill(jnp.asarray([lbl]),
+                                jnp.asarray([cfg.num_classes]),
+                                jax.random.key(7)) for lbl in (3, 5)]
+            batch = eng.empty_batch(reqs[0])
+            for i, r in enumerate(reqs):
+                batch = eng.insert(batch, i, r)
+            for _ in range(14):
+                batch = eng.step(batch)
+                n_new, _, _ = eng.slot_status(batch)
+                if (n_new >= 10).all():
+                    break
+            return [np.asarray(eng.slot_tokens(batch, i))[:10]
+                    for i in range(2)]
+
+    ref = run_batched(params, dparams)
+    mesh = pmesh.make_mesh(8, dp=2)
+    sp = pmesh.shard_pytree(params, pmesh.base_param_specs(cfg, mesh), mesh)
+    sd = pmesh.shard_pytree(dparams, pmesh.drafter_param_specs(dparams), mesh)
+    got = run_batched(sp, sd, mesh)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a, b)
