@@ -119,3 +119,28 @@ def test_vocab_map_tables():
     assert img2bpe[10] == 14 and img2bpe[0] == 12 and img2bpe[2] == 13
     assert bpe2img[14] == 10 and bpe2img[12] == 0 and bpe2img[13] == 2
     assert bpe2img[5] == -1
+
+
+def test_anole_spec_with_int8_kv_lossless(setup):
+    """Quantized KV with left-padded dual-position prompts: greedy spec must
+    reproduce the engine's own AR mode on the same int8 cache (ar.generate_
+    tokens is the user surface, so the oracle here is the engine AR path)."""
+    from lantern_tpu.engine import ar
+
+    cfg, dcfg, params, dparams = setup
+    tp = cham.anole_token_prompt([12, 33, 7])
+    mask = jnp.asarray(cham.non_image_token_mask(V))
+    res_ar = ar.generate_tokens(
+        params, cfg, tp, MAX_NEW, 2.0, LogitsWarp(temperature=0.0),
+        jax.random.key(7), logits_mask=mask, kv_quant=True,
+    )
+    ecfg = spec.SpecDecodeConfig(
+        warp=LogitsWarp(temperature=0.0), cfg_scale=2.0,
+        max_new=MAX_NEW, mode="static", kv_quant=True,
+    )
+    res = spec.generate(
+        params, dparams, ecfg, cfg, dcfg, trees.get_tree("mc_sim_7b_63"),
+        None, None, jax.random.key(7), token_prompt=tp, logits_mask=mask,
+    )
+    np.testing.assert_array_equal(np.asarray(res.tokens)[:MAX_NEW],
+                                  np.asarray(res_ar.tokens)[:MAX_NEW])
