@@ -64,7 +64,20 @@ def main():
                 d_layers = int(z0["num_layers"])
     dcfg = configs.drafter_config(cfg, num_layers=d_layers,
                                   total_tokens=59, depth=4, top_k=10)
-    tree = trees.get_tree("naive_extend_57")
+    # calibrated tree (scripts/optimize_bench_tree.py) beats the hand-made
+    # shape when present; same 57-node budget either way
+    tree_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "ckpts/bench_tree.json")
+    tree_name = "naive_extend_57"
+    if os.path.exists(tree_path) and os.environ.get("BENCH_TREE", "auto") != "fixed":
+        # static-mode drafting follows the spec's own levels; dcfg's
+        # total_tokens/depth only drive the dynamic mode and buffer pads
+        with open(tree_path) as f:
+            spec_paths = json.load(f)["paths"]
+        tree = trees.get_tree(spec_paths)
+        tree_name = "calibrated"
+    else:
+        tree = trees.get_tree(tree_name)
 
     # init on host CPU then transfer: remote-compiling a dozen RNG kernels
     # over the TPU tunnel costs minutes; host init costs seconds
@@ -232,6 +245,7 @@ def main():
                 ":" + os.environ.get("LANTERN_INT8_IMPL", "xla")
                 if QUANT == "int8" else ""),
             "kv": "int8" if KVQ else "bf16",
+            "tree": tree_name,
             "backend": jax.default_backend(),
         },
     }

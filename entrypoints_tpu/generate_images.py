@@ -39,7 +39,9 @@ def add_args(p):
     p.add_argument("--cfg", type=float, default=7.5)
     p.add_argument("--static-tree", action="store_true", default=True)
     p.add_argument("--dynamic-tree", dest="static_tree", action="store_false")
-    p.add_argument("--tree-choices", default="naive_extend_57")
+    p.add_argument("--tree-choices", default="naive_extend_57",
+                   help="library tree name, or a .json file from "
+                        "scripts/optimize_bench_tree.py (calibrated shape)")
     p.add_argument("--lantern", action="store_true")
     p.add_argument("--lantern-k", type=int, default=1000)
     p.add_argument("--lantern-delta", type=float, default=0.1)
@@ -128,6 +130,10 @@ def run(args):
 
     mode = ("ar" if args.model_type == "base"
             else ("static" if args.static_tree else "dynamic"))
+    tree_arg = args.tree_choices
+    if isinstance(tree_arg, str) and tree_arg.endswith(".json"):
+        with open(tree_arg) as f:
+            tree_arg = json.load(f)["paths"]
     stats = {}
     end = min(args.end_idx, len(prompts))
     for idx in range(args.start_idx, end):
@@ -136,7 +142,7 @@ def run(args):
             prompt,
             max_new=args.max_new,
             temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-            cfg_scale=args.cfg, mode=mode, tree=args.tree_choices,
+            cfg_scale=args.cfg, mode=mode, tree=tree_arg,
             lantern_k=args.lantern_k if args.lantern else 0,
             lantern_delta=args.lantern_delta if args.lantern else 0.0,
             seed=args.seed + idx,

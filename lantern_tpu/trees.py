@@ -353,6 +353,47 @@ def compile_tree(tree_paths: Sequence[Sequence[int]], topk: int = TOPK) -> TreeS
     )
 
 
+def optimize_tree(
+    rank_probs: Sequence[float],
+    num_nodes: int,
+    max_depth: int = 8,
+) -> List[Path]:
+    """Derive the expected-accept-length-optimal static tree shape.
+
+    The reference ships 6 hand-designed trees (choices.py:1-32); this builds
+    one from data instead.  Model: the r-th ranked draft child of a correct
+    node is itself correct with probability ``rank_probs[r]`` (measured by
+    ``engine.calibrate.measure_rank_probs``), independently across depth —
+    so a node reached by ranks (r1..rd) contributes its path probability
+    ``Π rank_probs[ri]`` to the expected number of accepted tokens.
+    Maximizing the sum over a fixed node budget is exactly "take the
+    ``num_nodes`` highest-probability nodes", and that set is automatically
+    prefix-closed because a child's probability never exceeds its parent's —
+    best-first expansion yields the optimum (the construction behind the
+    published mc_sim shapes, applied to *your* drafter/model pair).
+
+    Returns a path list compatible with ``compile_tree`` / ``get_tree``.
+    """
+    import heapq
+
+    probs = [float(p) for p in rank_probs]
+    if not probs or num_nodes < 1:
+        raise ValueError("need at least one rank probability and one node")
+    if any(p <= 0 or p > 1 for p in probs):
+        raise ValueError(f"rank_probs must be in (0, 1], got {probs}")
+    # heap of (-path_prob, path); seed with depth-1 candidates
+    heap = [(-probs[r], (r,)) for r in range(len(probs))]
+    heapq.heapify(heap)
+    chosen: List[Path] = []
+    while heap and len(chosen) < num_nodes:
+        neg_p, path = heapq.heappop(heap)
+        chosen.append(list(path))
+        if len(path) < max_depth:
+            for r in range(len(probs)):
+                heapq.heappush(heap, (neg_p * probs[r], path + (r,)))
+    return sort_paths(chosen)
+
+
 def get_tree(name_or_paths) -> TreeSpec:
     """Compile a tree by library name or explicit path list."""
     if isinstance(name_or_paths, str):

@@ -1,0 +1,86 @@
+"""Data-driven tree shapes: trees.optimize_tree + engine.calibrate."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lantern_tpu import configs, trees
+from lantern_tpu.engine.calibrate import measure_rank_probs
+from lantern_tpu.models import drafter as drf
+from lantern_tpu.models import transformer as tfm
+
+
+def test_optimize_tree_geometric_prefers_chain():
+    # rank-0 dominates -> budget goes deep, not wide
+    paths = trees.optimize_tree([0.9, 0.1], num_nodes=5, max_depth=4)
+    assert (0,) in paths and (0, 0) in paths and (0, 0, 0) in paths
+    assert (0, 0, 0, 0) in paths and (1,) in paths
+    spec = trees.get_tree(paths)                 # compiles: prefix-closed
+    assert spec.num_nodes == 6                   # +1 root
+
+
+def test_optimize_tree_uniform_prefers_width():
+    # equal ranks -> all depth-1 nodes before any depth-2
+    paths = trees.optimize_tree([0.3, 0.3, 0.3], num_nodes=3, max_depth=4)
+    assert sorted(p[0] for p in paths) == [0, 1, 2]
+    assert all(len(p) == 1 for p in paths)
+
+
+def test_optimize_tree_matches_budget_and_depth():
+    probs = [0.5, 0.25, 0.12, 0.06]
+    paths = trees.optimize_tree(probs, num_nodes=25, max_depth=3)
+    assert len(paths) == 25
+    assert max(len(p) for p in paths) <= 3
+    # greedy optimality: every chosen path's prob >= every rejected
+    # frontier child's prob
+    def prob(path):
+        return float(np.prod([probs[r] for r in path]))
+
+    chosen = {tuple(p) for p in paths}
+    frontier = []
+    for p in paths:
+        for r in range(len(probs)):
+            c = tuple(p) + (r,)
+            if c not in chosen and len(c) <= 3:
+                frontier.append(prob(list(c)))
+    assert min(prob(p) for p in paths) >= max(frontier) - 1e-12
+
+
+def test_optimize_tree_validates_inputs():
+    with pytest.raises(ValueError):
+        trees.optimize_tree([], 5)
+    with pytest.raises(ValueError):
+        trees.optimize_tree([0.5, 0.0], 5)
+
+
+def test_measure_rank_probs_aligned_drafter():
+    """A drafter engineered to reproduce the base's own logits (fc passes
+    the base HIDDEN through, zero decoder layers -> head sees exactly the
+    teacher hidden) must calibrate with dominant rank-0 mass on a greedy
+    rollout — and the optimized tree must then be chain-heavy."""
+    cfg = configs.tiny_config(cond_kind="label", block_size=16)
+    dcfg = configs.drafter_config(cfg, total_tokens=10, depth=3, top_k=4)
+    params = tfm.init_params(jax.random.key(0), cfg)
+    dparams = drf.init_drafter_params(jax.random.key(2), dcfg, params["embed"])
+    H = cfg.hidden_size
+    fc = np.zeros((2 * H, H), np.float32)
+    fc[H:] = np.eye(H)                      # hidden passthrough
+    dparams["fc_w"] = jnp.asarray(fc)
+    dparams["fc_b"] = jnp.zeros((H,))
+    dparams["layers"] = jax.tree.map(lambda a: a * 0.0, dparams["layers"])
+
+    from lantern_tpu.ops.sampling import LogitsWarp
+
+    probs = measure_rank_probs(
+        params, dparams, cfg, dcfg,
+        jnp.asarray([3]), jnp.asarray([cfg.num_classes]),
+        jax.random.key(7), num_tokens=16, max_rank=4,
+        warp=LogitsWarp(temperature=0.0), num_rollouts=2,
+    )
+    assert probs.shape == (4,)
+    assert probs[0] == probs.max()
+    assert probs[0] > 0.5            # aligned drafter mostly rank-0
+    paths = trees.optimize_tree(probs, num_nodes=8, max_depth=4)
+    assert (0, 0) in paths           # enough rank-0 mass to go deep
