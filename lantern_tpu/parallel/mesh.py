@@ -117,13 +117,17 @@ def drafter_param_specs(dparams: dict) -> dict:
     return jax.tree.map(lambda a: P(*([None] * a.ndim)), dparams)
 
 
-def kv_specs(cfg: ModelConfig, mesh: Mesh):
-    """KVCache [L, B, G, S, W]: head groups over tp, batch over dp."""
+def kv_specs(cfg: ModelConfig, mesh: Mesh, quantized: bool = False):
+    """KVCache [L, B, G, S, W]: head groups over tp, batch over dp.  For an
+    int8 cache the [L, B, G, S] scale planes shard with their groups."""
     from ..kv import KVCache, group_dims
     G, _ = group_dims(cfg.num_kv_heads, cfg.head_dim)
     groups_ok = _divisible(G, mesh)
-    spec = P(None, None, TP if groups_ok else None, None, None)
-    return KVCache(k=spec, v=spec, length=P())  # type: ignore[arg-type]
+    g = TP if groups_ok else None
+    spec = P(None, None, g, None, None)
+    sspec = P(None, None, g, None) if quantized else None
+    return KVCache(k=spec, v=spec, length=P(),  # type: ignore[arg-type]
+                   k_scale=sspec, v_scale=sspec)
 
 
 def tree_shardings(tree, specs, mesh: Mesh):

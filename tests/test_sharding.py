@@ -113,3 +113,29 @@ def test_batched_engine_with_tp_sharded_params(setup):
     got = run_batched(sp, sd, mesh)
     for a, b in zip(got, ref):
         np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_spec_decode_with_int8_kv(setup):
+    """TP-sharded decode with the quantized KV cache (scale planes shard
+    with their head groups) must match the unsharded int8-KV run."""
+    cfg, dcfg, params, dparams = setup
+
+    def run_q(p, d):
+        ecfg = spec_engine.SpecDecodeConfig(
+            warp=LogitsWarp(temperature=0.0), cfg_scale=2.0, max_new=10,
+            mode="static", kv_quant=True,
+        )
+        res = spec_engine.generate(
+            p, d, ecfg, cfg, dcfg, trees.get_tree("mc_sim_7b_63"),
+            jnp.asarray([3]), jnp.asarray([cfg.num_classes]),
+            jax.random.key(7),
+        )
+        return np.asarray(res.tokens)
+
+    ref = run_q(params, dparams)
+    mesh = pmesh.make_mesh(8, dp=2)
+    sp = pmesh.shard_pytree(params, pmesh.base_param_specs(cfg, mesh), mesh)
+    sd = pmesh.shard_pytree(dparams, pmesh.drafter_param_specs(dparams), mesh)
+    with jax.set_mesh(mesh):
+        got = run_q(sp, sd)
+    np.testing.assert_array_equal(got, ref)
