@@ -31,6 +31,11 @@ def add_args(p):
     p.add_argument("--std", type=float, default=0.2)
     p.add_argument("--cfg-loss", action="store_true")
     p.add_argument("--cfg-scale", type=float, default=3.0)
+    p.add_argument("--rollout-depth", type=int, default=1,
+                   help="on-policy rollout supervision levels (1 = the "
+                        "reference's teacher-forced training; >1 re-runs "
+                        "the drafter over its own hidden predictions)")
+    p.add_argument("--rollout-w", type=float, default=0.5)
     p.add_argument("--train-data-ratio", type=float, default=0.95)
     p.add_argument("--eval-freq", type=int, default=1)
     p.add_argument("--save-freq", type=int, default=5)
@@ -78,6 +83,7 @@ def run(args):
         total_steps=steps_per_epoch * args.num_epochs,
         noise=args.data_noise, noise_std=args.std,
         cfg_loss=args.cfg_loss, cfg_scale=args.cfg_scale,
+        rollout_depth=args.rollout_depth, rollout_w=args.rollout_w,
     )
     state = dt.init_train_state(dparams, tcfg)
     rng = np.random.default_rng(args.seed)

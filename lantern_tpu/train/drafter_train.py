@@ -49,6 +49,14 @@ class TrainConfig:
     noise_std: float = 0.2
     cfg_loss: bool = False
     cfg_scale: float = 3.0
+    # On-policy rollout supervision (beyond the reference trainer): at tree
+    # depth > 1 the drafter consumes its OWN predicted hidden states, which
+    # teacher-forced training never shows it.  rollout_depth > 1 re-runs the
+    # drafter over its own predictions (tokens stay teacher-forced) and adds
+    # a soft-CE term per extra level, weighted rollout_w ** (level - 1) —
+    # directly optimizing deep-level acceptance.
+    rollout_depth: int = 1
+    rollout_w: float = 0.5
 
 
 def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
@@ -128,6 +136,42 @@ def loss_and_metrics(
     ploss = ploss / (jnp.sum(p_mask) + 1e-5)
 
     loss = vloss + tcfg.p_w * ploss
+
+    # --- on-policy rollout levels (rollout_depth > 1) ---
+    # level d consumes (teacher token_{p+d-1}, drafter's own level-(d-1)
+    # hidden at p) and matches the teacher head distribution d steps ahead.
+    h_prev = predict
+    B, T, _ = predict.shape
+
+    def shift_left(x, s):
+        if s == 0:
+            return x
+        pad = [(0, 0)] * x.ndim
+        pad[1] = (0, s)
+        return jnp.pad(x[:, s:], pad)
+
+    base_tgt_head = jax.lax.stop_gradient(
+        (target @ head).astype(jnp.float32))
+    for d in range(2, tcfg.rollout_depth + 1):
+        tok_d = shift_left(batch["tokens"], d - 1)
+        h_d = drafter_teacher_forward(
+            dparams, dcfg, rope, tok_d, h_prev, batch["attn_valid"]
+        )
+        out_d = (h_d @ head).astype(jnp.float32)
+        tgt_d = shift_left(base_tgt_head, d - 1)
+        # valid where the whole d-step window sits inside the loss region
+        m_d = batch["loss_mask"] * shift_left(batch["loss_mask"], d - 1)
+        m_d = m_d[..., None]
+        if tcfg.cfg_loss:
+            tgt_d = tgt_d[::2] + tcfg.cfg_scale * (tgt_d[::2] - tgt_d[1::2])
+            out_d = out_d[::2] + tcfg.cfg_scale * (out_d[::2] - out_d[1::2])
+            m_d = m_d[::2]
+        pl_d = -jnp.sum(m_d * jnp.sum(
+            jax.nn.softmax(tgt_d, -1) * jax.nn.log_softmax(out_d, -1),
+            -1, keepdims=True))
+        pl_d = pl_d / (jnp.sum(m_d) + 1e-5)
+        loss = loss + tcfg.p_w * (tcfg.rollout_w ** (d - 1)) * pl_d
+        h_prev = h_d
 
     # top-k accuracy vs the teacher argmax (train_drafter/main.py:71-100)
     tgt_tok = jnp.argmax(tgt_head, axis=-1)

@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--bs", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--image-tokens", type=int, default=256)
+    ap.add_argument("--rollout-depth", type=int, default=1)
     ap.add_argument("--layers", type=int, default=1,
                     help="drafter decoder layers (reference cnets use 1; "
                     "2 lifts top-1 acceptance for ~0.1ms extra draft cost)")
@@ -127,6 +128,7 @@ def main():
     steps_per_epoch = max(args.samples // args.bs, 1)
     tcfg = dt.TrainConfig(
         lr=args.lr, p_w=0.1, noise="uniform", noise_std=0.1,
+        rollout_depth=args.rollout_depth,
         warmup_steps=max(2, steps_per_epoch // 2),
         total_steps=steps_per_epoch * args.epochs,
     )

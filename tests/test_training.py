@@ -114,3 +114,47 @@ def test_embed_stays_frozen(setup):
     # but fc must have moved
     assert not np.allclose(np.asarray(state.dparams["fc_w"]),
                            np.asarray(dparams["fc_w"]))
+
+
+def test_rollout_depth_one_is_reference_loss(setup):
+    """rollout_depth=1 must reproduce the reference trainer's loss exactly."""
+    cfg, dcfg, params, dparams, rope = setup
+    head = params["lm_head"]
+    batch = synth_batch(cfg)
+    l1, _ = dt.loss_and_metrics(dparams, dcfg, rope, head, batch,
+                                dt.TrainConfig(noise="none"))
+    l1b, _ = dt.loss_and_metrics(dparams, dcfg, rope, head, batch,
+                                 dt.TrainConfig(noise="none", rollout_depth=1))
+    assert float(l1) == float(l1b)
+
+
+def test_rollout_loss_adds_terms_and_grads_flow(setup):
+    cfg, dcfg, params, dparams, rope = setup
+    head = params["lm_head"]
+    batch = synth_batch(cfg)
+    tc1 = dt.TrainConfig(noise="none")
+    tc3 = dt.TrainConfig(noise="none", rollout_depth=3, rollout_w=0.5)
+    l1, _ = dt.loss_and_metrics(dparams, dcfg, rope, head, batch, tc1)
+    l3, _ = dt.loss_and_metrics(dparams, dcfg, rope, head, batch, tc3)
+    assert float(l3) > float(l1)          # extra positive CE terms
+
+    g = jax.grad(
+        lambda p: dt.loss_and_metrics(p, dcfg, rope, head, batch, tc3)[0]
+    )(dparams)
+    gnorm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_rollout_training_decreases_loss(setup):
+    cfg, dcfg, params, dparams, rope = setup
+    tcfg = dt.TrainConfig(lr=5e-3, noise="none", rollout_depth=2)
+    state = dt.init_train_state(dparams, tcfg)
+    head = params["lm_head"]
+    batch = synth_batch(cfg)
+    losses = []
+    key = jax.random.key(0)
+    for i in range(30):
+        key, k = jax.random.split(key)
+        state, m = dt.train_step(state, dcfg, tcfg, rope, head, batch, k)
+        losses.append(float(m.loss))
+    assert losses[-1] < losses[0] * 0.8
