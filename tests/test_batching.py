@@ -232,3 +232,52 @@ def test_batched_engine_through_stacked_write_kernel():
         kvmod.PALLAS_WRITE = prev
     for a, b in zip(got, ref):
         np.testing.assert_array_equal(a, b)
+
+
+def test_batched_engine_int8_kv_matches_single():
+    """Batched decode with quantized KV (+ stacked write kernel active)
+    must equal single-request int8-KV decode per slot."""
+    import lantern_tpu.kv as kvmod
+
+    cfg = configs.ModelConfig(
+        vocab_size=128, hidden_size=256, num_layers=2, num_heads=2,
+        num_kv_heads=2, intermediate_size=256, max_seq_len=128,
+        dtype="float32", cond_kind="label", num_classes=10, block_size=16,
+        cls_token_num=1,
+    )
+    dcfg = configs.drafter_config(cfg, total_tokens=8, depth=2, top_k=3)
+    params = tfm.init_params(jax.random.key(0), cfg)
+    dparams = drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
+    ecfg = spec.SpecDecodeConfig(
+        warp=LogitsWarp(temperature=0.0), cfg_scale=2.0,
+        max_new=8, mode="static", kv_quant=True,
+    )
+    tree = trees.get_tree("mc_sim_7b_63")
+
+    singles = {}
+    for lbl in (3, 5):
+        r = spec.generate(params, dparams, ecfg, cfg, dcfg, tree,
+                          jnp.asarray([lbl]), jnp.asarray([cfg.num_classes]),
+                          jax.random.key(7))
+        singles[lbl] = np.asarray(r.tokens)[:8]
+
+    prev = kvmod.PALLAS_WRITE
+    try:
+        kvmod.PALLAS_WRITE = "interpret"
+        eng = BatchedEngine(ecfg, cfg, dcfg, tree, params, dparams,
+                            num_slots=2)
+        reqs = [eng.prefill(jnp.asarray([lbl]), jnp.asarray([cfg.num_classes]),
+                            jax.random.key(7)) for lbl in (3, 5)]
+        batch = eng.empty_batch(reqs[0])
+        for i, r in enumerate(reqs):
+            batch = eng.insert(batch, i, r)
+        for _ in range(16):
+            batch = eng.step(batch)
+            n_new, _, _ = eng.slot_status(batch)
+            if (n_new >= 8).all():
+                break
+        got = [np.asarray(eng.slot_tokens(batch, i))[:8] for i in range(2)]
+    finally:
+        kvmod.PALLAS_WRITE = prev
+    np.testing.assert_array_equal(got[0], singles[3])
+    np.testing.assert_array_equal(got[1], singles[5])
