@@ -65,16 +65,15 @@ def main():
     dcfg = configs.drafter_config(cfg, num_layers=d_layers,
                                   total_tokens=59, depth=4, top_k=10)
     # calibrated tree (scripts/optimize_bench_tree.py) beats the hand-made
-    # shape when present; same 57-node budget either way
+    # shape when present; same 57-node budget either way.  Per-size file —
+    # a shape calibrated for one model/drafter pair must not leak to another.
     tree_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "ckpts/bench_tree.json")
+                             f"ckpts/bench_tree_{size}.json")
     tree_name = "naive_extend_57"
     if os.path.exists(tree_path) and os.environ.get("BENCH_TREE", "auto") != "fixed":
         # static-mode drafting follows the spec's own levels; dcfg's
         # total_tokens/depth only drive the dynamic mode and buffer pads
-        with open(tree_path) as f:
-            spec_paths = json.load(f)["paths"]
-        tree = trees.get_tree(spec_paths)
+        tree = trees.get_tree(tree_path)
         tree_name = "calibrated"
     else:
         tree = trees.get_tree(tree_name)

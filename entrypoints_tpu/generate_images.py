@@ -130,10 +130,6 @@ def run(args):
 
     mode = ("ar" if args.model_type == "base"
             else ("static" if args.static_tree else "dynamic"))
-    tree_arg = args.tree_choices
-    if isinstance(tree_arg, str) and tree_arg.endswith(".json"):
-        with open(tree_arg) as f:
-            tree_arg = json.load(f)["paths"]
     stats = {}
     end = min(args.end_idx, len(prompts))
     for idx in range(args.start_idx, end):
@@ -142,7 +138,7 @@ def run(args):
             prompt,
             max_new=args.max_new,
             temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-            cfg_scale=args.cfg, mode=mode, tree=tree_arg,
+            cfg_scale=args.cfg, mode=mode, tree=args.tree_choices,
             lantern_k=args.lantern_k if args.lantern else 0,
             lantern_delta=args.lantern_delta if args.lantern else 0.0,
             seed=args.seed + idx,

@@ -36,6 +36,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax._src.interpreters import ad as _ad
+from jax._src.interpreters import batching as _batching
 
 from .configs import ModelConfig
 from .ops.pallas import kv_update as _kvu
@@ -62,10 +63,13 @@ def _pallas_write_ok(cache: "KVCache", *new) -> tuple[bool, bool]:
     if not interpret and jax.default_backend() not in ("tpu", "axon"):
         return False, False
     for a in (cache.k, cache.v, cache.length, *new):
-        # batching is handled by the custom_vmap rule below; AD is not
+        # batching is handled by the custom_vmap rule below; AD is not —
+        # unwrap batch tracers so grad-of-vmapped still falls back
+        while isinstance(a, _batching.BatchTracer):
+            a = a.val
         if isinstance(a, (_ad.JVPTracer, _ad.LinearizeTracer)):
             return False, False
-    if not _kvu.supports(cache.k.shape, new[0].shape):
+    if not _kvu.supports(cache.k.shape, new[0].shape, cache.k.dtype):
         return False, False
     return True, interpret
 

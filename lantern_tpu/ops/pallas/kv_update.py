@@ -40,19 +40,26 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ALIGN = 16          # sublane tile rows (bf16 packing: (16, 128) tiles)
 _VMEM_BUDGET = 6 * 1024 * 1024
 
 
-def supports(buf_shape, new_shape) -> bool:
+def align_rows(dtype) -> int:
+    """Sublane tile rows for a dtype: f32 (8, 128), bf16 (16, 128),
+    int8/fp8 (32, 128).  The kernel's aligned-window start must be a
+    multiple of this."""
+    return 32 // max(jnp.dtype(dtype).itemsize, 1)
+
+
+def supports(buf_shape, new_shape, dtype=jnp.bfloat16) -> bool:
     """Whether the kernel's static constraints hold for these shapes."""
     L, B, G, S, W = buf_shape
     T = new_shape[-2]
+    ALIGN = align_rows(dtype)
     Tp = -(-T // ALIGN) * ALIGN
     return W % 128 == 0 and S % ALIGN == 0 and S >= Tp + ALIGN
 
 
-def _make_kernel(B, G, S, W, Tp, T_logical, bb, layers_per_start):
+def _make_kernel(B, G, S, W, Tp, T_logical, bb, layers_per_start, ALIGN):
     Tw = Tp + ALIGN
 
     def _kernel(start_ref, kn, vn, kin, vin, kout, vout, scr_o, scr_n, sem_o, sem_n):
@@ -101,10 +108,11 @@ def write_block(
     """In-place ``buf[..., start:start+T, :] = new`` for K and V; returns the
     (aliased) buffers.  T may be any size; the kernel pads the staging block
     internally and masks the write to exactly T rows."""
-    if not supports(k_buf.shape, k_new.shape):
+    if not supports(k_buf.shape, k_new.shape, k_buf.dtype):
         raise ValueError(
             f"write_block: unsupported shapes buf={k_buf.shape} new={k_new.shape}"
         )
+    ALIGN = align_rows(k_buf.dtype)
     L, B, G, S, W = k_buf.shape
     starts = jnp.reshape(jnp.asarray(start, jnp.int32), (-1,))
     R = starts.shape[0]
@@ -126,7 +134,7 @@ def write_block(
         bb //= 2
     while B % bb:
         bb -= 1
-    kern = _make_kernel(B, G, S, W, Tp, T, bb, L // R)
+    kern = _make_kernel(B, G, S, W, Tp, T, bb, L // R, ALIGN)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -49,8 +49,9 @@ def _kernel(
     bias_ref,       # VMEM [1, S_pad] additive prefix bias (0 / -inf)
     *rest,          # [ks_ref, vs_ref,] k_hbm, v_hbm, o_ref — scale rows
                     # ([1, S_pad] f32 per (b, g)) present iff scaled: the
-                    # cache streams as int8 and dequantizes against them
-                    # (K post-dot on scores, V folded into the probs)
+                    # cache streams as int8 and dequantizes per element,
+                    # rounded through the model dtype (bit-identical to the
+                    # in-flight fake-quant values; see kv.fake_quant_rows)
     blk: int,
     pk: int,
     scaled: bool = False,
@@ -104,14 +105,24 @@ def _kernel(
 
             get_k(slot, j).wait()
             get_v(slot, j).wait()
-            k = k_scratch[slot].astype(jnp.float32)           # [blk, G]
-            v = v_scratch[slot].astype(jnp.float32)
+            if scaled:
+                # dequantize per element and ROUND THROUGH the model dtype:
+                # a key read back from the int8 cache must be bit-identical
+                # to the fake-quantized in-flight key the token saw during
+                # its own verification forward (kv.fake_quant_rows), or
+                # near-tie argmaxes break the greedy-lossless contract
+                ks = ks_ref[0, pl.ds(j * blk, blk)]           # [blk]
+                vs = vs_ref[0, pl.ds(j * blk, blk)]
+                k = (k_scratch[slot].astype(jnp.float32) * ks[:, None]
+                     ).astype(kn_ref.dtype).astype(jnp.float32)
+                v = (v_scratch[slot].astype(jnp.float32) * vs[:, None]
+                     ).astype(vn_ref.dtype).astype(jnp.float32)
+            else:
+                k = k_scratch[slot].astype(jnp.float32)       # [blk, G]
+                v = v_scratch[slot].astype(jnp.float32)
             col = jax.lax.broadcasted_iota(jnp.int32, (T, blk), 1) + j * blk
             colmask = col < length
             bias = bias_ref[0, pl.ds(j * blk, blk)][None, :]
-            if scaled:
-                ks = ks_ref[0, pl.ds(j * blk, blk)][None, :]  # [1, blk]
-                vs = vs_ref[0, pl.ds(j * blk, blk)][None, :]
 
             ms2, ls2, accs2 = [], [], []
             for p in range(pk):
@@ -119,17 +130,13 @@ def _kernel(
                     qp[p], k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                              # [T, blk]
-                if scaled:
-                    # per-key dequant factors out of the q.k dot
-                    s = s * ks
                 s = jnp.where(colmask, s, NEG_INF) + bias
                 m_new = jnp.maximum(ms[p], jnp.max(s, axis=1, keepdims=True))
                 pr = jnp.exp(s - m_new)
                 sc = jnp.exp(ms[p] - m_new)
                 ls2.append(ls[p] * sc + jnp.sum(pr, axis=1, keepdims=True))
                 accs2.append(accs[p] * sc + jax.lax.dot_general(
-                    # per-value dequant folds into the probabilities
-                    pr * vs if scaled else pr, v, (((1,), (0,)), ((), ())),
+                    pr, v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ))                                             # [T, G]
                 ms2.append(m_new)

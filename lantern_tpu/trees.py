@@ -395,8 +395,15 @@ def optimize_tree(
 
 
 def get_tree(name_or_paths) -> TreeSpec:
-    """Compile a tree by library name or explicit path list."""
+    """Compile a tree by library name, explicit path list, or a ``.json``
+    file written by the calibration flow (scripts/optimize_bench_tree.py:
+    ``{"rank_probs": [...], "paths": [[...], ...]}``)."""
     if isinstance(name_or_paths, str):
+        if name_or_paths.endswith(".json"):
+            import json
+
+            with open(name_or_paths) as f:
+                return compile_tree(json.load(f)["paths"])
         try:
             paths = TREE_LIBRARY[name_or_paths]
         except KeyError:

@@ -50,7 +50,15 @@ def main():
 
     cfg = configs.llamagen_config(args.size, "t2i",
                                   image_tokens=args.image_tokens)
-    dcfg = configs.drafter_config(cfg, total_tokens=args.nodes + 2,
+    ckpt = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), f"ckpts/bench_drafter_{args.size}.npz")
+    d_layers = 1
+    if os.path.exists(ckpt):
+        with np.load(ckpt) as z0:
+            if "num_layers" in z0.files:
+                d_layers = int(z0["num_layers"])
+    dcfg = configs.drafter_config(cfg, num_layers=d_layers,
+                                  total_tokens=args.nodes + 2,
                                   depth=args.depth, top_k=args.max_rank)
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
@@ -58,8 +66,6 @@ def main():
         params = tfm.init_params(jax.random.key(0), cfg)   # = bench base
         dparams = drf.init_drafter_params(jax.random.key(101), dcfg,
                                           params["embed"])
-    ckpt = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), f"ckpts/bench_drafter_{args.size}.npz")
     if os.path.exists(ckpt):
         z = np.load(ckpt)
         dt_ = cfg.jnp_dtype
@@ -69,7 +75,7 @@ def main():
             k[len("layers."):]: jnp.asarray(z[k], dt_)
             for k in z.files if k.startswith("layers.")
         }
-        note(f"loaded trained drafter {ckpt}")
+        note(f"loaded trained drafter {ckpt} ({d_layers} layer(s))")
     params = jax.device_put(params, tpu)
     dparams = jax.device_put(dparams, tpu)
 
@@ -90,7 +96,8 @@ def main():
     spec = trees.get_tree(paths)        # validates
     note(f"tree: {spec.num_nodes} nodes, depth {int(max(spec.depth))}")
 
-    out = args.out or os.path.join(os.path.dirname(ckpt), "bench_tree.json")
+    out = args.out or os.path.join(os.path.dirname(ckpt),
+                                   f"bench_tree_{args.size}.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump({"rank_probs": probs.tolist(),

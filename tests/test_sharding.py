@@ -139,3 +139,27 @@ def test_sharded_spec_decode_with_int8_kv(setup):
     with jax.set_mesh(mesh):
         got = run_q(sp, sd)
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_kv_specs_shard_and_read_back(setup, quantized):
+    """kv_specs must mirror both cache layouts (incl. the int8 scale
+    planes), and a sharded cache must dequantize/ungroup to the same values
+    as the unsharded one."""
+    from lantern_tpu.kv import KVCache, dequant_cache, ungroup_cache
+
+    cfg, dcfg, params, dparams = setup
+    kv = KVCache.create(cfg, 2, quantized=quantized)
+    kn = jnp.asarray(
+        np.random.default_rng(0).normal(
+            size=(cfg.num_layers, 2, 5, cfg.num_kv_heads, cfg.head_dim)),
+        jnp.float32)
+    kv = kv.write(kn, kn * 0.5, advance=True)
+    mesh = pmesh.make_mesh(8, dp=2)
+    specs = pmesh.kv_specs(cfg, mesh, quantized=quantized)
+    sharded = pmesh.shard_pytree(kv, specs, mesh)   # structure must match
+    def values(c):
+        k = (dequant_cache(c.k, c.k_scale) if quantized
+             else c.k.astype(jnp.float32))
+        return np.asarray(ungroup_cache(k, cfg.num_kv_heads, cfg.head_dim))
+    np.testing.assert_array_equal(values(sharded), values(kv))
