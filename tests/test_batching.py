@@ -281,3 +281,34 @@ def test_batched_engine_int8_kv_matches_single():
         kvmod.PALLAS_WRITE = prev
     np.testing.assert_array_equal(got[0], singles[3])
     np.testing.assert_array_equal(got[1], singles[5])
+
+
+def test_batched_dynamic_mode_matches_single(setup):
+    """EAGLE-2 dynamic drafting under the vmapped batched engine."""
+    cfg, dcfg, params, dparams, _, _ = setup
+    ecfg = spec.SpecDecodeConfig(
+        warp=LogitsWarp(temperature=0.0), cfg_scale=2.0,
+        max_new=MAX_NEW, mode="dynamic",
+    )
+    singles = {}
+    for lbl in (1, 6):
+        r = spec.generate(params, dparams, ecfg, cfg, dcfg, None,
+                          jnp.asarray([lbl]), jnp.asarray([cfg.num_classes]),
+                          jax.random.key(5))
+        singles[lbl] = np.asarray(r.tokens)[:MAX_NEW]
+
+    eng = BatchedEngine(ecfg, cfg, dcfg, None, params, dparams, num_slots=2)
+    reqs = [eng.prefill(jnp.asarray([lbl]), jnp.asarray([cfg.num_classes]),
+                        jax.random.key(5)) for lbl in (1, 6)]
+    batch = eng.empty_batch(reqs[0])
+    for i, r in enumerate(reqs):
+        batch = eng.insert(batch, i, r)
+    for _ in range(MAX_NEW + 4):
+        batch = eng.step(batch)
+        n_new, _, _ = eng.slot_status(batch)
+        if (n_new >= MAX_NEW).all():
+            break
+    np.testing.assert_array_equal(
+        np.asarray(eng.slot_tokens(batch, 0))[:MAX_NEW], singles[1])
+    np.testing.assert_array_equal(
+        np.asarray(eng.slot_tokens(batch, 1))[:MAX_NEW], singles[6])
