@@ -60,6 +60,11 @@ class BatchedEngine:
             ctx = _Ctx(params=params, dparams=dparams, rope=rope, drope=drope,
                        nearest=params.get("nearest_latents"),
                        prefix_valid=prefix_valid,
+                       # drafter pad masking is a Chameleon-family behavior
+                       # (token prompts, cond_kind "none"); the LlamaGen
+                       # drafter attends pads like the reference's
+                       drafter_pv=(prefix_valid if cfg.cond_kind == "none"
+                                   else None),
                        pos_offsets=pos_offsets, logits_mask=logits_mask,
                        logits_fn=logits_fn)
             if ecfg.mode == "static":

@@ -91,6 +91,11 @@ class _Ctx(NamedTuple):
     drope: tuple
     nearest: Optional[jnp.ndarray]
     prefix_valid: Optional[jnp.ndarray]
+    # pad mask threaded into DRAFTER forwards — Chameleon families only
+    # (cnets_anole.py:721-737); the LlamaGen drafter takes no mask
+    # (cnets_llamagen.py:732), so this stays None there even when the BASE
+    # model masks caption pads
+    drafter_pv: Optional[jnp.ndarray] = None
     # Chameleon-family extras (None for LlamaGen):
     pos_offsets: Optional[jnp.ndarray] = None    # [2] per-branch position shift
     logits_mask: Optional[jnp.ndarray] = None    # [V] True = forbidden token
@@ -205,7 +210,7 @@ def _verify_and_update(
     out_hidden, draft_kv = drf.extend(
         ctx.dparams, dcfg, ctx.drope, state.draft_kv,
         jnp.broadcast_to(next_tok[None, :], (2, D)), hid_rows, n_acc,
-        prefix_valid=ctx.prefix_valid,
+        prefix_valid=ctx.drafter_pv,
         pos_offsets=ctx.pos_offsets,
     )
     root_hidden = jax.lax.dynamic_slice_in_dim(out_hidden, alen, 1, axis=1)
@@ -273,7 +278,7 @@ def make_static_step(
             ctx.dparams, dcfg, spec, ctx.drope, state.draft_kv, root_hidden,
             quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.warp, draft_rng,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
-            logits_fn=ctx.logits_fn,
+            logits_fn=ctx.logits_fn, prefix_valid=ctx.drafter_pv,
         )
         return state._replace(draft=new_draft, draft_kv=dkv, rng=rng)
 
@@ -305,7 +310,7 @@ def make_dynamic_step(
             ctx.dparams, dcfg, ctx.drope, state.draft_kv, root_hidden,
             state.root_token, quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.warp,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
-            logits_fn=ctx.logits_fn,
+            logits_fn=ctx.logits_fn, prefix_valid=ctx.drafter_pv,
         )
         return state._replace(draft=new_draft, draft_kv=dkv)
 
@@ -390,6 +395,7 @@ def prefill_request(
         offs = jnp.stack([jnp.zeros((), jnp.int32), tp.pos_diff.astype(jnp.int32)])
         ctx = _Ctx(params=params, dparams=dparams, rope=rope, drope=drope,
                    nearest=nearest, prefix_valid=prefix_valid,
+                   drafter_pv=prefix_valid,
                    pos_offsets=offs, logits_mask=logits_mask,
                    logits_fn=logits_fn)
         # ---- base prefill over the token prompt ----
@@ -414,9 +420,13 @@ def prefill_request(
         )
         dpos = jnp.arange(L)[None, :]
         dpos = jnp.maximum(dpos - offs[:, None], 0)
+        # the reference threads the left-pad attention_mask into the
+        # drafter prefill itself (ea_model_anole.py:437): pad rows must be
+        # invisible within the prompt block, not only in later prefix reads
         out_hidden, dk = drf.extend(
             ctx.dparams, dcfg, drope, dk, dtok, res.hidden, L,
             prefix_valid=prefix_valid, positions=dpos,
+            block_valid=tp.valid,
         )
         root_hidden = out_hidden[:, -1:]
 
@@ -426,14 +436,14 @@ def prefill_request(
             ctx.dparams, dcfg, spec, drope, dk, root_hidden,
             quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.warp, draft_rng,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
-            logits_fn=ctx.logits_fn,
+            logits_fn=ctx.logits_fn, prefix_valid=ctx.drafter_pv,
         )
     else:
         draft, draft_kv = drf.draft_dynamic(
             ctx.dparams, dcfg, drope, dk, root_hidden, t0,
             quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.warp,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
-            logits_fn=ctx.logits_fn,
+            logits_fn=ctx.logits_fn, prefix_valid=ctx.drafter_pv,
         )
 
     state = SpecState(
@@ -489,7 +499,9 @@ def generate(
                rope=tfm.make_rope_tables(cfg),
                drope=tfm.make_rope_tables(dcfg.model),
                nearest=params.get("nearest_latents"),
-               prefix_valid=prefix_valid, pos_offsets=offs,
+               prefix_valid=prefix_valid,
+               drafter_pv=prefix_valid if token_prompt is not None else None,
+               pos_offsets=offs,
                logits_mask=logits_mask, logits_fn=logits_fn,
                lantern_rt=lantern_rt)
     if ecfg.mode == "static":

@@ -77,6 +77,7 @@ def extend(
     prefix_valid: Optional[jnp.ndarray] = None,
     positions: Optional[jnp.ndarray] = None,
     pos_offsets: Optional[jnp.ndarray] = None,
+    block_valid: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, KVCache]:
     """Append accepted (token, hidden) pairs to the drafter's committed
     prefix.  Writes all T rows (tail past ``n_valid`` is garbage that later
@@ -85,16 +86,24 @@ def extend(
 
     ``pos_offsets`` [2]: per-branch position offsets (Chameleon sequential-
     prompt CFG: the uncond stream restarts near 0, cnets_anole.py:817-830);
-    positions are clamped at 0.  ``positions`` overrides entirely."""
+    positions are clamped at 0.  ``positions`` overrides entirely.
+    ``block_valid`` [B2, T]: pad mask over THIS block's rows (Chameleon
+    prompt prefill — the reference threads the left-pad attention_mask into
+    the drafter's own forward, cnets_anole.py:721-737; the LlamaGen drafter
+    takes no mask, cnets_llamagen.py:732)."""
     T = tokens.shape[1]
     x = fuse_inputs(params, tokens, hidden)
     if positions is None:
         positions = kv.length + jnp.arange(T)
         if pos_offsets is not None:
             positions = jnp.maximum(positions[None, :] - pos_offsets[:, None], 0)
+    block_mask = None
+    if block_valid is not None:
+        block_mask = (jnp.tril(jnp.ones((T, T), bool))[None]
+                      & block_valid[:, None, :].astype(bool))
     res = tfm.forward(
         params, dcfg.model, x, kv, positions, rope,
-        prefix_valid=prefix_valid, commit=False,
+        prefix_valid=prefix_valid, block_mask=block_mask, commit=False,
     )
     return res.hidden, res.kv.commit(n_valid)
 
@@ -120,15 +129,22 @@ def _head_logits(
     return logits
 
 
-def _level_prefix_mask(kv_len, S: int, lvl_mask: jnp.ndarray, offset: int, T: int):
-    """[T, S] visibility: committed prefix + provisional rows [0, offset)
-    with ancestor visibility from the level's compiled mask."""
+def _level_prefix_mask(kv_len, S: int, lvl_mask: jnp.ndarray, offset: int, T: int,
+                       prefix_valid: Optional[jnp.ndarray] = None):
+    """[T, S] (or [2, T, S] with ``prefix_valid``) visibility: committed
+    prefix + provisional rows [0, offset) with ancestor visibility from the
+    level's compiled mask.  ``prefix_valid`` [2, S] hides left-pad prompt
+    rows per CFG branch (Chameleon drafters thread the pad attention_mask
+    through every draft forward, cnets_anole.py:721-737; pass None for
+    LlamaGen, whose drafter takes no mask)."""
     j = jnp.arange(S)
     pm = jnp.broadcast_to(j[None, :] < kv_len, (T, S))
     if offset > 0:
         pm = jax.lax.dynamic_update_slice(
             pm, lvl_mask[:, :offset], (0, kv_len.astype(jnp.int32))
         )
+    if prefix_valid is not None:
+        pm = pm[None] & prefix_valid[:, None, :].astype(bool)
     return pm
 
 
@@ -152,6 +168,7 @@ def draft_static(
     pos_offsets: Optional[jnp.ndarray] = None,
     logits_mask: Optional[jnp.ndarray] = None,
     logits_fn=None,
+    prefix_valid: Optional[jnp.ndarray] = None,
 ) -> tuple[StaticDraft, KVCache]:
     """EAGLE-1 static-tree drafting (topK_genrate_v1).  Returns the draft and
     the cache whose buffer now holds the provisional tree-level rows (length
@@ -205,7 +222,8 @@ def draft_static(
             positions=level_positions(d, T),
             rope=rope,
             block_mask=lvl_mask[:, off:],
-            prefix_override=_level_prefix_mask(kv.length, S, lvl_mask, off, T),
+            prefix_override=_level_prefix_mask(kv.length, S, lvl_mask, off, T,
+                                               prefix_valid),
             commit=False,
             write_offset=off,
         )
@@ -252,6 +270,7 @@ def draft_dynamic(
     pos_offsets: Optional[jnp.ndarray] = None,
     logits_mask: Optional[jnp.ndarray] = None,
     logits_fn=None,
+    prefix_valid: Optional[jnp.ndarray] = None,
 ) -> tuple[DynamicDraft, KVCache]:
     """EAGLE-2 dynamic beam drafting (topK_genrate, cnets_llamagen.py:732-912).
 
@@ -283,7 +302,8 @@ def draft_dynamic(
 
     for i in range(depth):
         x = fuse_inputs(params, tokens, input_hidden)
-        pm = _level_prefix_mask(kv.length, S, tree_mask, i * K, K)
+        pm = _level_prefix_mask(kv.length, S, tree_mask, i * K, K,
+                                prefix_valid)
         pos_i = kv.length + jnp.zeros((K,), jnp.int32) + i
         if pos_offsets is not None:
             pos_i = jnp.maximum(pos_i[None, :] - pos_offsets[:, None], 0)

@@ -212,7 +212,8 @@ def stochastic_verify(
     ``(best_path, accept_len, sample_dist)`` with ``sample_dist`` [V] the
     distribution for the bonus token.
 
-    ``uniforms`` ([D, P], optional) overrides the per-trial uniform draws —
+    ``uniforms`` ([D-1, P], optional; row i-1 serves level i, levels
+    1..D-1 — the root needs no coin) overrides the per-trial uniform draws,
     used by parity tests to pin the acceptance coin flips.
     """
     P, D, V = path_logits.shape

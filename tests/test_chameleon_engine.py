@@ -144,3 +144,42 @@ def test_anole_spec_with_int8_kv_lossless(setup):
     )
     np.testing.assert_array_equal(np.asarray(res.tokens)[:MAX_NEW],
                                   np.asarray(res_ar.tokens)[:MAX_NEW])
+
+
+def test_pad_rows_invisible_to_engine(setup):
+    """Left-pad rows must not influence generation at all — base AND drafter
+    mask them (the reference threads the pad attention_mask into the anole
+    drafter's forwards, ea_model_anole.py:437).  Scrambling pad token ids
+    must leave the sampled output stream unchanged."""
+    cfg, dcfg, params, dparams = setup
+    tp = cham.anole_token_prompt([12, 33, 7])
+    assert not bool(np.asarray(tp.valid).all()), "prompt must have pads"
+    mask = jnp.asarray(cham.non_image_token_mask(V))
+    ecfg = spec.SpecDecodeConfig(
+        warp=LogitsWarp(temperature=1.0, top_k=8), cfg_scale=2.0,
+        max_new=MAX_NEW, mode="static",
+    )
+
+    def run(tp_):
+        res = spec.generate(
+            params, dparams, ecfg, cfg, dcfg, trees.get_tree("mc_sim_7b_63"),
+            None, None, jax.random.key(3), token_prompt=tp_, logits_mask=mask,
+        )
+        return np.asarray(res.tokens)
+
+    def proposals(tp_):
+        state, _, _ = spec.prefill_request(
+            params, dparams, ecfg, cfg, dcfg, trees.get_tree("mc_sim_7b_63"),
+            None, None, jax.random.key(3), token_prompt=tp_,
+            logits_mask=mask,
+        )
+        return np.asarray(state.draft.ss_token)
+
+    ref = run(tp)
+    prop_ref = proposals(tp)
+    scrambled = tp._replace(
+        tokens=jnp.where(tp.valid.astype(bool), tp.tokens, 41))
+    np.testing.assert_array_equal(run(scrambled), ref)
+    # the draft proposals themselves must be pad-invariant (catches drafter
+    # pad leakage even when the verified output happens not to flip)
+    np.testing.assert_array_equal(proposals(scrambled), prop_ref)
