@@ -252,6 +252,18 @@ def stochastic_verify(
     return state.best, state.accept_len - 1, sample_dist
 
 
+def _lantern_zero_mask(nearest, x, jstar, lantern: LanternSpec, rt, V: int):
+    """[V] bool mask of the drafted token's aggregated neighbors to zero out
+    on rejection (reference ea_model_llamagen.py:743-779).  Deliberately
+    asymmetric vs the acceptance budget: the reference zeroes the first
+    ``k + 1`` nearest slots while aggregating probability over ``[:k]`` —
+    keep both in sync with the reference, not with each other."""
+    neigh1 = nearest[x][: lantern.k + 1]
+    in_k = (jnp.arange(lantern.k + 1) <= rt.k) if rt is not None \
+        else jnp.ones((lantern.k + 1,), bool)
+    return jnp.zeros((V,), bool).at[neigh1].set((jstar >= 0) & in_k)
+
+
 def _run_level(
     state: _LevelState, i: int, uniforms: jax.Array,
     path_logits, candidates, warp, nearest, lantern,
@@ -320,20 +332,14 @@ def _run_level(
             q = jnp.where(sib_mask, 0.0, q)
             q = jnp.where(has_sib, q / jnp.maximum(q.sum(), 1e-30), q)
             if lantern.enabled:
-                neigh1 = nearest[x][: lantern.k + 1]
-                in_k = (jnp.arange(lantern.k + 1) <= rt.k) if rt is not None \
-                    else jnp.ones((lantern.k + 1,), bool)
-                zero_neigh = jnp.zeros((V,), bool).at[neigh1].set((jstar >= 0) & in_k)
-                q = jnp.where(zero_neigh, 0.0, q)
+                q = jnp.where(_lantern_zero_mask(nearest, x, jstar, lantern, rt, V),
+                              0.0, q)
             new_gtp = jnp.maximum(c.gtp - q, 0.0)
         else:
             new_gtp = c.gtp.at[x].set(0.0)
             if lantern.enabled:
-                neigh1 = nearest[x][: lantern.k + 1]
-                in_k = (jnp.arange(lantern.k + 1) <= rt.k) if rt is not None \
-                    else jnp.ones((lantern.k + 1,), bool)
                 new_gtp = jnp.where(
-                    jnp.zeros((V,), bool).at[neigh1].set((jstar >= 0) & in_k),
+                    _lantern_zero_mask(nearest, x, jstar, lantern, rt, V),
                     0.0, new_gtp
                 )
         s = new_gtp.sum()
@@ -475,22 +481,16 @@ def stochastic_verify_tree(
                 q = jnp.where(sib_mask, 0.0, q)
                 q = jnp.where(has_sib, q / jnp.maximum(q.sum(), 1e-30), q)
                 if lantern.enabled:
-                    neigh1 = nearest[x][: lantern.k + 1]
-                    in_k = (jnp.arange(lantern.k + 1) <= rt.k) if rt is not None \
-                        else jnp.ones((lantern.k + 1,), bool)
                     q = jnp.where(
-                        jnp.zeros((V,), bool).at[neigh1].set((jstar >= 0) & in_k),
+                        _lantern_zero_mask(nearest, x, jstar, lantern, rt, V),
                         0.0, q
                     )
                 new_gtp = jnp.maximum(carry.gtp - q, 0.0)
             else:
                 new_gtp = carry.gtp.at[x].set(0.0)
                 if lantern.enabled:
-                    neigh1 = nearest[x][: lantern.k + 1]
-                    in_k = (jnp.arange(lantern.k + 1) <= rt.k) if rt is not None \
-                        else jnp.ones((lantern.k + 1,), bool)
                     new_gtp = jnp.where(
-                        jnp.zeros((V,), bool).at[neigh1].set((jstar >= 0) & in_k),
+                        _lantern_zero_mask(nearest, x, jstar, lantern, rt, V),
                         0.0, new_gtp
                     )
             ssum = new_gtp.sum()
