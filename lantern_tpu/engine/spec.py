@@ -345,6 +345,12 @@ def prefill_request(
     base_kv = KVCache.create(cfg, 2, quantized=ecfg.kv_quant)
     dk = KVCache.create(dcfg.model, 2)
     S = base_kv.max_len
+    if token_prompt is not None and prefix_valid is not None:
+        # the prompt's own pad mask (token_prompt.valid) is authoritative
+        # for token-prompt requests; a separately-passed mask would be
+        # silently overwritten below, so reject the ambiguity
+        raise ValueError("pass padding via token_prompt.valid, not "
+                         "prefix_valid, for token-prompt requests")
     if prefix_valid is not None and prefix_valid.shape[-1] != S:
         # KV buffers round up to the flash-kernel block size; pad the mask
         prefix_valid = jnp.pad(
