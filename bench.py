@@ -126,9 +126,11 @@ def main():
         # TPU) backend round-trips the full weight set through the tunnel.
         params = tfm.fuse_params(params)
         dparams = tfm.fuse_params(dparams)
-        if QUANT == "int8":
-            from lantern_tpu.ops.quant import quantize_params
+    host_params, host_dparams = params, dparams   # bf16 fallback copies
+    if QUANT == "int8":
+        from lantern_tpu.ops.quant import quantize_params
 
+        with jax.default_device(cpu):
             params = quantize_params(params)
             # drafter too: its per-level forwards re-stream fc+layer weights
             # depth x per step (proposal quality, not correctness, is the
@@ -167,8 +169,22 @@ def main():
     run_strict = make_spec(LanternSpec())
     run_lantern = make_spec(LanternSpec(k=LK, delta=LD))
 
-    run_ar(7)
-    note("AR compiled")
+    # the headline JSON line must survive an int8-path compile failure on
+    # this backend: fall back to bf16 weights and recompile once
+    try:
+        run_ar(7)
+        note("AR compiled")
+    except Exception as e:  # noqa: BLE001
+        if QUANT == "none":
+            raise
+        note(f"int8 compile failed ({type(e).__name__}: {e}); "
+             "falling back to bf16 weights")
+        QUANT = "none"
+        params = jax.device_put(host_params, tpu)
+        dparams = jax.device_put(host_dparams, tpu)
+        uncond = params["cond"]["uncond"][None].astype(cond.dtype)
+        run_ar(7)
+        note("AR compiled (bf16)")
     run_strict(7)
     note("strict spec compiled")
     sres = run_lantern(7)
@@ -223,7 +239,7 @@ def main():
         batched_tps = None
     out = {
         "metric": (
-            f"image_tokens_per_s_per_chip (LlamaGen-{size} t2i 256tok, "
+            f"image_tokens_per_s_per_chip (LlamaGen-{size} t2i {IMAGE_TOKENS}tok, "
             f"EAGLE-1 static tree + LANTERN k={LK} d={LD}, sampling, "
             + ("self-distilled drafter)" if trained else "untrained drafter)")
         ),
