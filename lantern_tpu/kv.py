@@ -158,7 +158,7 @@ def dequant_cache(buf: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.float32) -> jn
     return (buf.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
-def group_cache(buf: jnp.ndarray, head_dim: int | None = None) -> jnp.ndarray:
+def group_cache(buf: jnp.ndarray) -> jnp.ndarray:
     """[..., S, n_kv, hd] -> grouped [..., G, S, W] (tests / loaders)."""
     *lead, S, nkv, hd = buf.shape
     G, W = group_dims(nkv, hd)
@@ -246,6 +246,9 @@ class KVCache:
         candidates / drafter expansion levels at increasing offsets):
         attention sees it via an explicit block mask, and later writes
         overwrite it."""
+        if advance and not (isinstance(offset, int) and offset == 0):
+            raise ValueError("write(advance=True) requires offset == 0: rows "
+                             "below the offset would be committed unwritten")
         T = k_new.shape[2]
         kg = group_blocks(k_new)                          # [L, B, G, T, W]
         vg = group_blocks(v_new)

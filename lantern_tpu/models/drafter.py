@@ -24,7 +24,7 @@ TPU-first deltas vs the reference host loops:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -229,8 +229,13 @@ def draft_static(
         )
         kv = res.kv
         out_hidden = res.hidden
+        # level-d rows are depth-(d+1) nodes: drafter index kv.length + d,
+        # hence cond position kv.length + d + 1 (the drafter stream is
+        # shifted one left of the cond stream) — the FSM takes the row's own
+        # cond position, same convention as the verifier (spec.py)
         logits = _head_logits(base_lm_head, out_hidden, cfg_scale, logits_mask,
-                              logits_fn, kv.length + jnp.zeros((T,), jnp.int32) + d)
+                              logits_fn,
+                              kv.length + jnp.zeros((T,), jnp.int32) + d + 1)
 
     return StaticDraft(
         ss_token=jnp.concatenate(ss_token, axis=0),
@@ -322,7 +327,9 @@ def draft_dynamic(
         bias = 1 + K * K * max(i - 1, 0) + (K if i > 0 else 0)
         parents_list.append(topk_cs_index + bias)
 
-        lp = head_logp(out_hidden, kv.length + jnp.zeros((K,), jnp.int32) + i)
+        # beam level-i rows sit at cond position kv.length + i + 1 (see the
+        # static-path comment on the drafter stream shift)
+        lp = head_logp(out_hidden, kv.length + jnp.zeros((K,), jnp.int32) + i + 1)
         topk_p, topk_i = jax.lax.top_k(lp, K)                     # [K, K]
         cu = topk_p + scores[:, None]
         scores, topk_cs_index = jax.lax.top_k(cu.reshape(-1), K)
@@ -359,9 +366,12 @@ def draft_dynamic(
     # sibling-rank order (rank = count of earlier slots with the same parent)
     n1 = N + 1
     slots = jnp.arange(n1, dtype=jnp.int32)
+    # exclude slot 0: parent[0] is self-referentially 0, which would count
+    # the root as an earlier sibling of its own children (shifting their
+    # ranks and dropping the K-th child off the table)
     same_parent_before = (parent[None, :] == parent[:, None]) & (
         slots[None, :] < slots[:, None]
-    )
+    ) & (slots[None, :] > 0)
     sib_rank = jnp.sum(same_parent_before, axis=1).astype(jnp.int32)
     children = jnp.full((n1, K), -1, jnp.int32)
     children = children.at[parent[1:], sib_rank[1:]].set(slots[1:])

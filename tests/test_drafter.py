@@ -119,3 +119,94 @@ def test_greedy_static_draft_parity(pair, tree_name):
     np.testing.assert_allclose(
         np.asarray(draft.ss_prob), ss_prob.numpy(), rtol=2e-3, atol=1e-4
     )
+
+
+def test_dynamic_children_table_complete():
+    """Every non-root node appears exactly once in the children table, and
+    the root's rank-0 child slot is occupied (regression: the root's
+    self-referential parent pointer used to shift its children's sibling
+    ranks by one, dropping the K-th child)."""
+    import numpy as np
+
+    from lantern_tpu import configs
+    from lantern_tpu.models import drafter as drf
+    from lantern_tpu.models import transformer as tfm
+    from lantern_tpu.kv import KVCache
+    from lantern_tpu.ops.sampling import LogitsWarp
+
+    cfg = configs.tiny_config(cond_kind="label", block_size=16)
+    dcfg = configs.drafter_config(cfg, total_tokens=12, depth=3, top_k=4)
+    params = tfm.init_params(jax.random.key(0), cfg)
+    dparams = drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
+    drope = tfm.make_rope_tables(dcfg.model)
+    kv = KVCache.create(dcfg.model, 2).commit(jnp.int32(5))
+    root_hidden = jax.random.normal(jax.random.key(2), (2, 1, cfg.hidden_size))
+    draft, _ = drf.draft_dynamic(
+        dparams, dcfg, drope, kv, root_hidden, jnp.int32(3),
+        params["lm_head"], 2.0, LogitsWarp(temperature=1.0, top_k=50),
+    )
+    ch = np.asarray(draft.children)
+    N1 = ch.shape[0]
+    listed = ch[ch >= 0]
+    assert sorted(listed.tolist()) == list(range(1, N1)), (
+        "children table must list every non-root slot exactly once")
+    assert ch[0, 0] >= 0, "root's rank-0 child missing"
+    # ranks are dense: no -1 before a valid child in any row
+    for r in range(N1):
+        row = ch[r]
+        seen_pad = False
+        for v in row:
+            if v < 0:
+                seen_pad = True
+            else:
+                assert not seen_pad, f"gap in sibling ranks of row {r}: {row}"
+
+
+def test_draft_fsm_positions_are_row_cond_positions():
+    """The FSM/logits_fn receives each row's own cond position: kv.length
+    for the root row, kv.length + d + 1 for level-d rows (the drafter
+    stream is shifted one left of the cond stream).  Regression for an
+    off-by-one that applied grid constraints one position early."""
+    import numpy as np
+
+    from lantern_tpu import configs, trees
+    from lantern_tpu.models import drafter as drf
+    from lantern_tpu.models import transformer as tfm
+    from lantern_tpu.kv import KVCache
+    from lantern_tpu.ops.sampling import LogitsWarp
+
+    cfg = configs.tiny_config(cond_kind="label", block_size=16)
+    dcfg = configs.drafter_config(cfg, total_tokens=10, depth=3, top_k=4)
+    params = tfm.init_params(jax.random.key(0), cfg)
+    dparams = drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
+    drope = tfm.make_rope_tables(dcfg.model)
+    L0 = 7
+    kv = KVCache.create(dcfg.model, 2).commit(jnp.int32(L0))
+    root_hidden = jax.random.normal(jax.random.key(2), (2, 1, cfg.hidden_size))
+
+    calls = []
+
+    def recorder(logits, positions):
+        calls.append(np.unique(np.asarray(positions)).tolist())
+        return logits
+
+    spec = trees.get_tree("mc_sim_7b_63")
+    drf.draft_static(
+        dparams, dcfg, spec, drope, kv, root_hidden, params["lm_head"],
+        2.0, LogitsWarp(temperature=0.0), jax.random.key(3),
+        logits_fn=recorder,
+    )
+    # root call at kv.length; level-d calls at kv.length + d + 1
+    assert calls[0] == [L0]
+    for d, got in enumerate(calls[1:]):
+        assert got == [L0 + d + 1], (d, got)
+
+    calls.clear()
+    drf.draft_dynamic(
+        dparams, dcfg, drope, kv, root_hidden, jnp.int32(3),
+        params["lm_head"], 2.0, LogitsWarp(temperature=0.0),
+        logits_fn=recorder,
+    )
+    assert calls[0] == [L0]
+    for d, got in enumerate(calls[1:]):
+        assert got == [L0 + d + 1], (d, got)
