@@ -287,7 +287,7 @@ class ChameleonSession:
 
         if self.family == "anole":
             return cham.anole_token_prompt(text_tokens)
-        return cham.lumina_token_prompt(text_tokens)
+        return cham.lumina_token_prompt(text_tokens, grid=self.grid)
 
     def generate(
         self,

@@ -18,7 +18,7 @@ Reference semantics:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -34,7 +34,7 @@ IMAGE_END_ID = 8196             # end-of-image
 IMAGE_START_ID = 8197           # begin-of-image
 ANOLE_EOT = 8710                # end-of-turn before image
 LUMINA_NEWLINE_ID = 8803
-LUMINA_GRID_PREFIX = (8197, 8828, 8828)
+LUMINA_GRID_PREFIX = (8197, 8828, 8828)   # 48x48-latent header (768px)
 VOCAB = 65536
 
 
@@ -96,10 +96,10 @@ def anole_token_prompt(text_tokens: Sequence[int]) -> TokenPrompt:
     uncond_pos = np.zeros((L,), np.int64)
     uncond_pos[-1] = 1
     positions = np.stack([cond_pos, uncond_pos]).astype(np.int32)
-    valid = tokens != PAD_ID
-    # the uncond row's [0, image_start] tail is real; the literal 1-pads are
-    # not.  (cond row never contains PAD_ID.)
-    valid[1, -2:] = True
+    # structural validity: only the uncond row's left pads are invisible
+    # (value-based `tokens != PAD_ID` would hide a legitimate text token 1)
+    valid = np.ones_like(tokens, dtype=bool)
+    valid[1, : L - 2] = False
     return TokenPrompt(
         tokens=jnp.asarray(tokens),
         positions=jnp.asarray(positions),
@@ -108,14 +108,23 @@ def anole_token_prompt(text_tokens: Sequence[int]) -> TokenPrompt:
     )
 
 
-def lumina_token_prompt(text_tokens: Sequence[int]) -> TokenPrompt:
-    """Lumina parallel-CFG prompt: cond = text + [8197, 8828, 8828]; the
-    uncond branch restarts positions at the image-start token
-    (ea_model_lumina_mgpt.py:835-908)."""
-    cond = list(text_tokens) + list(LUMINA_GRID_PREFIX)
+def lumina_token_prompt(text_tokens: Sequence[int],
+                        grid: tuple[int, int] = (48, 48)) -> TokenPrompt:
+    """Lumina parallel-CFG prompt: cond = text + [image-start, h-grid,
+    w-grid]; the uncond branch restarts positions at the image-start token
+    (ea_model_lumina_mgpt.py:835-908).  ``grid`` = (h, w) in VQ latents —
+    the header tokens must agree with the resolution the grid FSM enforces
+    (48x48 latents = the reference's 768px default, header 8828/8828)."""
+    from .item_processor import LATENTS_PER_PATCH, grid_token
+
+    h_lat, w_lat = grid
+    prefix = (IMAGE_START_ID,
+              grid_token(h_lat // LATENTS_PER_PATCH),
+              grid_token(w_lat // LATENTS_PER_PATCH))
+    cond = list(text_tokens) + list(prefix)
     L = len(cond)
     image_start_idx = L - 3
-    uncond = [PAD_ID] * image_start_idx + list(LUMINA_GRID_PREFIX)
+    uncond = [PAD_ID] * image_start_idx + list(prefix)
     tokens = np.stack([cond, uncond]).astype(np.int32)
     cond_pos = np.arange(L)
     uncond_pos = np.concatenate(
@@ -150,6 +159,13 @@ class LuminaGridFSM(NamedTuple):
         """logits [T, V] scoring the tokens at cond positions+1; constrain per
         the grid state (MultiModalLogitsProcessor semantics with
         position_ids = positions + 1, image_start_token_id_index set)."""
+        if self.newline_id >= self.vocab_size or self.image_end_id >= self.vocab_size:
+            # an out-of-range .at[id].set would be silently dropped, leaving
+            # forced rows all -inf; small-vocab tests must override the ids
+            raise ValueError(
+                f"newline_id {self.newline_id} / image_end_id "
+                f"{self.image_end_id} outside vocab {self.vocab_size}; "
+                "pass fsm overrides for small-vocab configs")
         neg = jnp.finfo(jnp.float32).min
         n_gen = (positions + 1) - (self.image_start_idx + 1 + 2)     # [T]
         k = n_gen + 1
