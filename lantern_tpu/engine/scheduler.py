@@ -30,6 +30,7 @@ class Request:
     cond: Any = None
     uncond: Any = None
     token_prompt: Any = None
+    prefix_valid: Any = None       # [2, S] pad mask (left-padded captions)
     seed: int = 0
     # results
     tokens: Optional[np.ndarray] = None
@@ -66,7 +67,7 @@ class Scheduler:
         req._t0 = time.perf_counter()
         return self.engine.prefill(
             req.cond, req.uncond, jax.random.key(req.seed),
-            token_prompt=req.token_prompt,
+            token_prompt=req.token_prompt, prefix_valid=req.prefix_valid,
         )
 
     def _run_native(self, requests: List[Request], progress: bool) -> List[Request]:
@@ -95,8 +96,14 @@ class Scheduler:
             # capture finished slots' tokens before the queue refills them
             before = {s: slot_uid[s] for s in range(eng.num_slots)}
             newly = sched.report_step(n_new, steps, acc)
+            drained = []
+            while newly and len(drained) < newly:
+                got = sched.drain()
+                if not got:
+                    break
+                drained.extend(got)
             if newly:
-                for uid, st, ac in sched.drain():
+                for uid, st, ac in drained:
                     req = by_uid[uid]
                     slot = next(s for s, u in before.items() if u == uid)
                     req.tokens = eng.slot_tokens(batch, slot)
@@ -107,10 +114,13 @@ class Scheduler:
                     if progress:
                         print(f"request {req.uid}: steps={req.steps} "
                               f"compression={req.step_compression:.3f}")
-        done.sort(key=lambda r: requests.index(r))
+        order = {id(r): i for i, r in enumerate(requests)}
+        done.sort(key=lambda r: order[id(r)])
         return done
 
     def _run_python(self, requests: List[Request], progress: bool) -> List[Request]:
+        if not requests:
+            return []
         eng = self.engine
         queue = deque(requests)
         done: List[Request] = []
@@ -149,5 +159,6 @@ class Scheduler:
                         slots[s] = nxt
                     else:
                         slots[s] = None
-        done.sort(key=lambda r: requests.index(r))
+        order = {id(r): i for i, r in enumerate(requests)}
+        done.sort(key=lambda r: order[id(r)])
         return done

@@ -34,7 +34,29 @@ def _load():
         return _lib
     if not os.path.exists(_LIB_PATH) and not _build():
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = _bind(ctypes.CDLL(_LIB_PATH))
+    except OSError:
+        # stale/corrupt library: rebuild once, else fall back cleanly
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "clean"],
+                           check=True, capture_output=True, timeout=30)
+        except Exception:
+            return None
+        if not _build():
+            return None
+        try:
+            lib = _bind(ctypes.CDLL(_LIB_PATH))
+        except OSError:
+            return None
+    except AttributeError:
+        # library built from an older source missing a symbol
+        return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib):
     lib.lantern_sched_create.restype = ctypes.c_void_p
     lib.lantern_sched_create.argtypes = [ctypes.c_int32]
     lib.lantern_sched_destroy.argtypes = [ctypes.c_void_p]
@@ -64,7 +86,6 @@ def _load():
     lib.lantern_sched_totals.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)
     ]
-    _lib = lib
     return lib
 
 

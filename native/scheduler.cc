@@ -63,11 +63,16 @@ void* lantern_sched_create(int32_t num_slots) {
 
 void lantern_sched_destroy(void* h) { delete static_cast<Scheduler*>(h); }
 
-// Admit a request into the waiting queue.
+// Admit a request into the waiting queue.  Rejects (silently drops)
+// uids that are already live — a duplicate would occupy two slots but be
+// drained once, wedging a slot forever — and uids >= 2^63, which the
+// int64 slot table (-1 = empty sentinel) cannot represent.
 void lantern_sched_enqueue(void* h, uint64_t uid, int32_t prompt_len,
                            int32_t max_new, uint64_t now_ns) {
   auto* s = static_cast<Scheduler*>(h);
   std::lock_guard<std::mutex> lock(s->mu);
+  if (uid > static_cast<uint64_t>(INT64_MAX)) return;
+  if (s->reqs.count(uid)) return;
   Request r;
   r.uid = uid;
   r.prompt_len = prompt_len;

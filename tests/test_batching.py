@@ -312,3 +312,21 @@ def test_batched_dynamic_mode_matches_single(setup):
         np.asarray(eng.slot_tokens(batch, 0))[:MAX_NEW], singles[1])
     np.testing.assert_array_equal(
         np.asarray(eng.slot_tokens(batch, 1))[:MAX_NEW], singles[6])
+
+
+def test_scheduler_empty_and_native_guards(setup):
+    """Empty request lists return [] on both scheduler paths; the native
+    queue rejects duplicate and unrepresentable uids instead of wedging."""
+    from lantern_tpu import native
+    from lantern_tpu.engine.scheduler import Scheduler
+
+    cfg, dcfg, params, dparams, ecfg, tree = setup
+    eng = BatchedEngine(ecfg, cfg, dcfg, tree, params, dparams, num_slots=2)
+    assert Scheduler(eng, use_native=False).run([]) == []
+    if native.available():
+        assert Scheduler(eng, use_native=True).run([]) == []
+        ns = native.NativeScheduler(2)
+        ns.enqueue(7, prompt_len=0, max_new=4)
+        ns.enqueue(7, prompt_len=0, max_new=4)      # duplicate: dropped
+        ns.enqueue(2 ** 63 + 1, prompt_len=0, max_new=4)  # unrepresentable
+        assert ns.num_waiting == 1
