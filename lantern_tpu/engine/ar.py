@@ -25,8 +25,7 @@ class ARResult(NamedTuple):
     kv: KVCache
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new", "cfg_scale", "warp",
-                                   "kv_quant"))
+@partial(jax.jit, static_argnames=("cfg", "max_new", "warp", "kv_quant"))
 def generate(
     params: dict,
     cfg: ModelConfig,
@@ -87,7 +86,7 @@ def generate(
     return ARResult(tokens=fin.out, kv=fin.kv)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new", "cfg_scale", "warp",
+@partial(jax.jit, static_argnames=("cfg", "max_new", "warp",
                                    "logits_fn", "kv_quant"))
 def generate_tokens(
     params: dict,

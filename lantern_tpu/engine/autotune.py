@@ -76,7 +76,7 @@ def autotune_total_tokens(
 ) -> int:
     """Return the latency-weighted-argmin candidate ``total_tokens``."""
     if weights is None:
-        weights = WEIGHTS if len(candidates) == len(CANDIDATES) else None
+        weights = WEIGHTS if tuple(candidates) == CANDIDATES else None
     if weights is None:
         # reference weights interpolated over tree size
         lo, hi = min(candidates), max(candidates)

@@ -47,7 +47,7 @@ class LlamaGenSession:
     dparams: Optional[dict]
     vq_cfg: Optional[vqgan.VQGANConfig] = None
     vq_params: Optional[dict] = None
-    t5 = None
+    t5: object = None
 
     @classmethod
     def from_pretrained(
@@ -149,10 +149,12 @@ class LlamaGenSession:
         lantern_delta: float = 0.0,
         seed: int = 0,
         kv_quant: bool = False,
+        warp_order: str = "hf",   # "ar" = reference vanilla-AR order
     ):
         cfg = self.cfg
         max_new = max_new or cfg.block_size
-        warp = LogitsWarp(temperature=temperature, top_k=top_k, top_p=top_p)
+        warp = LogitsWarp(temperature=temperature, top_k=top_k, top_p=top_p,
+                          warp_order=warp_order)
         cond, uncond, pv = self._cond_pair(prompt)
         rng = jax.random.key(seed)
         t0 = time.perf_counter()
@@ -303,17 +305,16 @@ class ChameleonSession:
         lantern_delta: float = 0.0,
         seed: int = 0,
         kv_quant: bool = False,
+        warp_order: str = "hf",   # "ar" = reference vanilla-AR order
     ):
-        from .. import trees as trees_mod
         from ..models import chameleon as cham
-        from ..ops.acceptance import LanternSpec
-        from ..ops.sampling import LogitsWarp
 
         cfg = self.cfg
         h, w = self.grid
         if max_new is None:
             max_new = h * w if self.family == "anole" else h * (w + 1) + 1
-        warp = LogitsWarp(temperature=temperature, top_k=top_k, top_p=top_p)
+        warp = LogitsWarp(temperature=temperature, top_k=top_k, top_p=top_p,
+                          warp_order=warp_order)
         tp = self._prompt(list(text_tokens))
         mask = jnp.asarray(cham.non_image_token_mask(cfg.vocab_size))
         logits_fn = None

@@ -116,7 +116,10 @@ def apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     """Nucleus filtering: keep the smallest prefix of the sorted distribution
     with cumulative probability >= p (the first token crossing the threshold is
     kept, matching the HF shift-right convention)."""
-    if p >= 1.0:
+    if p >= 1.0 or p <= 0.0:
+        # reference gates top_p to (1e-8, 1.0) and treats anything else as
+        # disabled (prepare_logits_processor); p <= 0 would otherwise mask
+        # EVERY token and degrade sampling to uniform noise
         return logits
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
