@@ -78,6 +78,9 @@ def pipeline_loss_fn(
     Semantics match train/finetune.token_loss (next-token CE).
     """
     pp = mesh.shape[PP]
+    # every non-pp mesh axis is a data axis: the batch shards over them and
+    # the masked loss sums reduce over (pp, *data) so dp composes for real
+    data_axes = tuple(a for a in mesh.axis_names if a != PP)
     cos, _ = rope
 
     def stage_apply(layers_stage, x, positions, mask, stage):
@@ -110,10 +113,12 @@ def pipeline_loss_fn(
         n_ticks = n_micro + pp - 1
         carry0 = jnp.zeros((mb, T, embeds.shape[-1]), embeds.dtype)
         outs0 = jnp.zeros((n_micro, mb, T, embeds.shape[-1]), embeds.dtype)
-        # mark the zero-init carries as device-varying over pp (their updates
-        # are), or the scan carry types disagree under shard_map
-        carry0 = jax.lax.pcast(carry0, (PP,), to="varying")
-        outs0 = jax.lax.pcast(outs0, (PP,), to="varying")
+        # mark the zero-init carries as device-varying over pp AND the data
+        # axes (their updates are, now that the batch shards over dp), or
+        # the scan carry types disagree under shard_map
+        vary = (PP,) + data_axes
+        carry0 = jax.lax.pcast(carry0, vary, to="varying")
+        outs0 = jax.lax.pcast(outs0, vary, to="varying")
 
         def tick(state, t):
             carry, outs = state
@@ -144,29 +149,44 @@ def pipeline_loss_fn(
         tgt = tokens[:, 1:]
         nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
         m = loss_mask[:, 1:]
-        loss = jnp.sum(nll * m) / (jnp.sum(m) + 1e-6)
-        acc = jnp.sum((jnp.argmax(logits[:, :-1], -1) == tgt) * m) / (
-            jnp.sum(m) + 1e-6)
-        # only the last stage holds real outputs; give every stage the same
-        # scalars (sum of one real value + zeros is a broadcast, and its
-        # cotangent routes straight back to the last stage)
-        last_only = (stage == pp - 1).astype(loss.dtype)
-        loss = jax.lax.psum(loss * last_only, PP)
-        acc = jax.lax.psum(acc * last_only, PP)
-        return loss, acc
+        # only the last stage holds real outputs; sum-based reduction over
+        # (pp, *data) makes dp shards combine exactly (per-shard means
+        # would mis-weight uneven mask counts), and the cotangent of the
+        # masked psum routes straight back to the last stage
+        last_only = (stage == pp - 1).astype(nll.dtype)
+        axes = (PP,) + data_axes
+        nll_sum = jax.lax.psum(jnp.sum(nll * m) * last_only, axes)
+        hit_sum = jax.lax.psum(
+            jnp.sum((jnp.argmax(logits[:, :-1], -1) == tgt) * m) * last_only,
+            axes)
+        m_sum = jax.lax.psum(jnp.sum(m) * last_only, axes)
+        return nll_sum / (m_sum + 1e-6), hit_sum / (m_sum + 1e-6)
 
-    smapped = jax.shard_map(
-        spmd, mesh=mesh,
-        in_specs=(P(), stage_specs_like_ones(), P(), P(), P()),
-        out_specs=(P(), P()),
-    )
+    bspec = P(data_axes if data_axes else None)
+
+    def smapped(av_spec):
+        return jax.shard_map(
+            spmd, mesh=mesh,
+            in_specs=(P(), stage_specs_like_ones(), bspec, bspec, av_spec),
+            out_specs=(P(), P()),
+        )
+
+    run_shared_av = smapped(P())       # attn_valid [1, T], replicated
+    run_padded_av = smapped(bspec)     # attn_valid [B, T], batch-sharded
 
     def loss_fn(params, staged, batch):
+        if "cond" in batch:
+            raise NotImplementedError(
+                "conditional (cond-prefix) batches are not supported by the "
+                "pipeline trainer yet; use finetune.train_step")
         attn_valid = batch.get("attn_valid")
         if attn_valid is None:
-            attn_valid = jnp.ones_like(batch["tokens"], jnp.float32)
-        return smapped(params, staged, batch["tokens"],
-                       batch["loss_mask"], attn_valid)
+            # shared [1, T] mask: train_mask then broadcasts one [1,1,T,T]
+            # causal mask instead of materializing [B,1,T,T]
+            attn_valid = jnp.ones((1, batch["tokens"].shape[1]), jnp.float32)
+        run = run_shared_av if attn_valid.shape[0] == 1 else run_padded_av
+        return run(params, staged, batch["tokens"],
+                   batch["loss_mask"], attn_valid)
 
     return loss_fn
 
@@ -190,11 +210,10 @@ def make_train_step(cfg, mesh: Mesh, n_micro: int, rope, fcfg=None):
 
     fcfg = fcfg or ft.FinetuneConfig()
     loss_fn = pipeline_loss_fn(cfg, mesh, n_micro, rope, remat=fcfg.remat)
-    opt = optax.chain(
-        optax.clip_by_global_norm(fcfg.grad_clip_norm),
-        optax.adamw(ft.lr_schedule(fcfg), b1=fcfg.betas[0], b2=fcfg.betas[1],
-                    weight_decay=fcfg.weight_decay, mu_dtype=jnp.float32),
-    )
+    # same optimizer as the single-device trainer — including the decay
+    # mask (no weight decay on norms/biases/embeddings); rebuilding adamw
+    # here without it silently decayed them
+    opt = ft.build_optimizer(fcfg)
 
     def init_fn(params, staged):
         return opt.init((params, staged))

@@ -143,14 +143,25 @@ class LengthClusteredSampler:
         self.start_iter = 0
 
         global_bsz_acc = batch_size * num_replicas * acc_grad
-        total = 0
+        per_type: Dict[str, int] = {}
         for m in dataset.meta_collection:
-            n = int(m["len"] * m["ratio"])
-            total += n // global_bsz_acc * global_bsz_acc
+            per_type[m["type"]] = per_type.get(m["type"], 0) + int(
+                m["len"] * m["ratio"])
+        # same grouping as _global_batches: same-type metas pool their
+        # samples before truncating to the accumulation multiple
+        total = sum(n // global_bsz_acc * global_bsz_acc
+                    for n in per_type.values())
         self.total_size = total
         self.num_samples = total // num_replicas
 
     def set_epoch(self, epoch: int, start_iter: int = 0):
+        """``start_iter`` counts RAW global batches and must sit on an
+        accumulation-window boundary — resuming mid-window would mix task
+        types inside one gradient accumulation."""
+        if start_iter % self.acc_grad:
+            raise ValueError(
+                f"start_iter {start_iter} not a multiple of acc_grad "
+                f"{self.acc_grad}")
         self.epoch = epoch
         self.start_iter = start_iter
 
@@ -166,8 +177,9 @@ class LengthClusteredSampler:
                        for i in range(m["len"])]
             start += m["len"]
             if m["ratio"] != 1.0:
-                keep = rng.choice(len(idx_len), int(m["len"] * m["ratio"]),
-                                  replace=False)
+                n_keep = int(m["len"] * m["ratio"])
+                keep = rng.choice(len(idx_len), n_keep,
+                                  replace=n_keep > len(idx_len))
                 idx_len = [idx_len[int(i)] for i in keep]
             groups.setdefault(m["type"], []).extend(idx_len)
 

@@ -105,9 +105,14 @@ def token_loss(params, cfg: ModelConfig, rope, batch, fcfg: FinetuneConfig):
         )
     Tc = embeds.shape[1] - T
     positions = jnp.arange(embeds.shape[1])
+    attn_valid = batch.get("attn_valid")
+    if attn_valid is not None and Tc > 0:
+        # token-aligned [B, T] pad mask -> prepend always-valid cond columns
+        attn_valid = jnp.concatenate(
+            [jnp.ones((B, Tc), attn_valid.dtype), attn_valid], axis=1)
     hidden = tfm.forward_train(
         params, cfg, embeds, positions, rope,
-        attn_valid=batch.get("attn_valid"), remat=fcfg.remat,
+        attn_valid=attn_valid, remat=fcfg.remat,
     )
     logits = tfm.logits_head(params, hidden[:, Tc:])       # [B, T, V]
     # predict token t+1 from position t
@@ -176,7 +181,10 @@ def save_checkpoint(save_dir: str, state: FinetuneState, keep_last: int = 3) -> 
     save_pytree(path, {"params": state.params, "opt_state": state.opt_state,
                        "step": np.asarray(step)})
     ckpts = sorted(
-        d for d in os.listdir(save_dir) if d.startswith("step_")
+        # skip orbax atomic-write temp dirs: after an interrupted save they
+        # start with "step_" and sort after the finished checkpoint
+        d for d in os.listdir(save_dir)
+        if d.startswith("step_") and ".orbax-checkpoint-tmp" not in d
     )
     for old in ckpts[:-keep_last]:
         shutil.rmtree(os.path.join(save_dir, old), ignore_errors=True)
@@ -187,7 +195,10 @@ def restore_checkpoint(save_dir: str, like: FinetuneState) -> Optional[FinetuneS
     from ..utils.checkpoint import restore_pytree
 
     ckpts = sorted(
-        d for d in os.listdir(save_dir) if d.startswith("step_")
+        # skip orbax atomic-write temp dirs: after an interrupted save they
+        # start with "step_" and sort after the finished checkpoint
+        d for d in os.listdir(save_dir)
+        if d.startswith("step_") and ".orbax-checkpoint-tmp" not in d
     ) if os.path.isdir(save_dir) else []
     if not ckpts:
         return None
