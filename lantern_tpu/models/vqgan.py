@@ -46,10 +46,6 @@ class VQGANConfig:
         n = len(self.ch_mult)
         return level in tuple(a % n for a in self.attn_levels)
 
-    def dec_attn(self, block_idx: int) -> bool:
-        """Decoder blocks run coarse->fine: block j corresponds to encoder
-        level n-1-j."""
-        return self.enc_attn(len(self.ch_mult) - 1 - block_idx)
 
 
 def vq16_config(**kw) -> VQGANConfig:
@@ -240,7 +236,7 @@ def init_vqgan_params(rng: jax.Array, cfg: VQGANConfig) -> dict:
 # forward
 # ---------------------------------------------------------------------------
 
-def _tower(blocks, mid, x, up: bool, num_res: int):
+def _tower(blocks, mid, x, up: bool):
     if not up:
         for blk in blocks:
             for i, r in enumerate(blk["res"]):
@@ -276,7 +272,7 @@ def encode(params: dict, cfg: VQGANConfig, images: jnp.ndarray) -> jnp.ndarray:
     """images [B, H, W, 3] in [-1, 1] -> codes [B, (H/f)*(W/f)] int32."""
     enc = params["encoder"]
     h = conv2d(enc["conv_in"], images)
-    h = _tower(enc["blocks"], enc["mid"], h, up=False, num_res=cfg.num_res_blocks)
+    h = _tower(enc["blocks"], enc["mid"], h, up=False)
     h = conv2d(enc["conv_out"], swish(group_norm(enc["norm_out"], h)))
     z = conv2d(params["quant_conv"], h)                       # [B, h, w, d]
     B, hh, ww, d = z.shape
@@ -305,7 +301,7 @@ def decode_code(params: dict, cfg: VQGANConfig, codes: jnp.ndarray, grid) -> jnp
     z = conv2d(params["post_quant_conv"], z)
     dec = params["decoder"]
     h = conv2d(dec["conv_in"], z)
-    h = _tower(dec["blocks"], dec["mid"], h, up=True, num_res=cfg.num_res_blocks)
+    h = _tower(dec["blocks"], dec["mid"], h, up=True)
     return conv2d(dec["conv_out"], swish(group_norm(dec["norm_out"], h)))
 
 
@@ -400,11 +396,10 @@ def load_taming_state_dict(sd: dict, cfg: VQGANConfig) -> dict:
     stored in *fine-to-coarse* index order (our decoder blocks run
     coarse->fine, so block j maps to ``up.{n-1-j}``).
     """
-    import numpy as _np
 
     def conv(prefix):
         return {
-            "w": jnp.asarray(_np.transpose(sd[prefix + ".weight"], (2, 3, 1, 0))),
+            "w": jnp.asarray(np.transpose(sd[prefix + ".weight"], (2, 3, 1, 0))),
             "b": jnp.asarray(sd[prefix + ".bias"]),
         }
 

@@ -26,36 +26,58 @@ from ..configs import DrafterConfig, ModelConfig
 
 
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:
-    """Load a .safetensors or torch .bin/.pt file into numpy arrays."""
+    """Load a .safetensors or torch .bin/.pt/.ckpt file into numpy arrays."""
     if path.endswith(".safetensors"):
+        # framework="pt": published Chameleon/Lumina checkpoints are bf16,
+        # which safetensors' numpy framework cannot decode
         from safetensors import safe_open
 
+        import torch
+
         out = {}
-        with safe_open(path, framework="np") as f:
+        with safe_open(path, framework="pt") as f:
             for k in f.keys():
-                out[k] = f.get_tensor(k)
+                t = f.get_tensor(k)
+                out[k] = (t.float().numpy()
+                          if t.dtype == torch.bfloat16 else t.numpy())
         return out
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
-        sd = sd["model"]
-    return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
-            for k, v in sd.items()}
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # Lightning-style ckpts (taming VQGAN) carry non-tensor metadata
+        # that weights_only rejects
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict):
+        for wrapper in ("model", "state_dict"):
+            if wrapper in sd and isinstance(sd[wrapper], dict):
+                sd = sd[wrapper]
+                break
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "numpy"):
+            out[k] = v.float().numpy()
+        elif isinstance(v, (np.ndarray, int, float, list, tuple)):
+            out[k] = np.asarray(v)
+        # else: non-tensor metadata (Lightning hyper_parameters etc.) dropped
+    return out
 
 
 def load_torch_dir(path: str) -> Dict[str, np.ndarray]:
     """Load a HF model dir (sharded or single safetensors / pytorch_model)."""
     if os.path.isfile(path):
         return load_torch_file(path)
-    index = os.path.join(path, "model.safetensors.index.json")
-    if os.path.exists(index):
-        with open(index) as f:
-            weight_map = json.load(f)["weight_map"]
-        out = {}
-        for shard in sorted(set(weight_map.values())):
-            out.update(load_torch_file(os.path.join(path, shard)))
-        return out
+    for index in ("model.safetensors.index.json",
+                  "pytorch_model.bin.index.json"):
+        ip = os.path.join(path, index)
+        if os.path.exists(ip):
+            with open(ip) as f:
+                weight_map = json.load(f)["weight_map"]
+            out = {}
+            for shard in sorted(set(weight_map.values())):
+                out.update(load_torch_file(os.path.join(path, shard)))
+            return out
     for name in ("model.safetensors", "pytorch_model.bin"):
         p = os.path.join(path, name)
         if os.path.exists(p):
@@ -140,6 +162,10 @@ def chameleon_params_from_torch(
             if w.shape[0] < heads:
                 # Lumina stores one row per MP shard; each shard's gamma/beta
                 # is repeat-interleaved over its heads (lumina_mgpt_kv.py:308)
+                if heads % w.shape[0]:
+                    raise ValueError(
+                        f"{fmt.format(l)}: {w.shape[0]} stored rows don't "
+                        f"tile {heads} heads")
                 w = np.repeat(w, heads // w.shape[0], axis=0)
             ws.append(w[:heads])
         return jnp.asarray(np.stack(ws)).astype(dt)
