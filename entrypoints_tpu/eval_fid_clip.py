@@ -53,9 +53,16 @@ def load_captions(path, n):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # CLIP scoring only works off CLIP embeddings; with the inception
+    # extractor it is skipped loudly, not silently
+    want_clip = not args.skip_clip_score
+    if want_clip and args.feature_extractor == "inception":
+        print("warning: CLIP score needs --feature-extractor hf_clip; "
+              "skipping it")
+        want_clip = False
     needs_net = (not args.fake_dir.endswith(".npz")
                  or not args.ref_dir.endswith(".npz")
-                 or not args.skip_clip_score)
+                 or want_clip)
     extractor = None
     if needs_net:
         extractor = F.make_extractor(
@@ -71,12 +78,16 @@ def main(argv=None):
     fid = M.fid_from_features(ref_feats, fake_feats)
 
     clip_score = None
-    if not args.skip_clip_score and isinstance(extractor, F.HFClipExtractor):
+    if want_clip and isinstance(extractor, F.HFClipExtractor):
         captions = load_captions(args.caption_path, args.how_many)
-        paths = F.list_images(args.fake_dir)[: args.how_many]
-        n = min(len(paths), len(captions))
-        img_embs = fake_feats[:n] if not args.fake_dir.endswith(".npz") else \
-            extractor.image_features(F.load_images(paths[:n], args.eval_res))
+        if args.fake_dir.endswith(".npz"):
+            # precomputed CLIP features ARE the image embeddings
+            img_embs = fake_feats
+            n = min(len(img_embs), len(captions))
+        else:
+            paths = F.list_images(args.fake_dir)[: args.how_many]
+            n = min(len(paths), len(captions))
+            img_embs = fake_feats[:n]
         txt_embs = extractor.text_features(captions[:n], batch=args.batch_size)
         clip_score = M.clip_score_from_embeddings(img_embs[:n], txt_embs)
 

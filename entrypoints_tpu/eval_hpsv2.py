@@ -51,10 +51,10 @@ def load_prompts(path):
 
 def match_index(fname: str):
     # reference filename conventions (eval_hpsv2.py:44-52)
-    m = re.search(r"(?:prompt|image)_(\d{1,4})\.(?:png|jpg)", fname)
+    m = re.search(r"(?:prompt|image)_(\d{1,4})\.(?:png|jpe?g)", fname)
     if m:
         return int(m.group(1))
-    m = re.search(r"(\d{1,6})\.(?:png|jpg)", fname)
+    m = re.search(r"(\d{1,6})\.(?:png|jpe?g)", fname)
     return int(m.group(1)) if m else None
 
 
@@ -82,8 +82,14 @@ def main(argv=None):
                 "checkpoint) or --use-hpsv2-package on an eval host")
         ex = F.HFClipExtractor(args.clip_model_dir, device=args.device,
                                prepend="")
-        imgs = F.load_images([p for p, _ in pairs], resize=224)
-        img_embs = ex.image_features(imgs, batch=args.batch_size)
+        # load per batch: decoding tens of thousands of images up front
+        # would hold an N x 224 x 224 x 3 array in RAM for nothing
+        embs = []
+        for i in range(0, len(pairs), args.batch_size):
+            chunk = F.load_images([p for p, _ in pairs[i:i + args.batch_size]],
+                                  resize=224)
+            embs.append(ex.image_features(chunk, batch=args.batch_size))
+        img_embs = np.concatenate(embs, axis=0)
         txt_embs = ex.text_features([t for _, t in pairs],
                                     batch=args.batch_size)
         scores = M.hps_from_embeddings(img_embs, txt_embs).tolist()

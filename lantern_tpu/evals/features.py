@@ -41,7 +41,7 @@ def list_images(path: str, exts=("png", "jpg", "jpeg")) -> List[str]:
     files: List[str] = []
     for e in exts:
         files += glob.glob(os.path.join(path, f"*.{e}"))
-        files += glob.glob(os.path.join(path, "**", f"*.{e}"), recursive=False)
+        files += glob.glob(os.path.join(path, "**", f"*.{e}"), recursive=True)
     return natural_sort(sorted(set(files)))
 
 
@@ -113,10 +113,13 @@ class TorchvisionExtractor:
         self.device = device
         if arch == "vgg16":
             vgg = tvm.vgg16(weights="IMAGENET1K_V1").eval().to(device)
-            # fc2 features, as the reference's IPR (eval_prec_recall.py:52-63)
+            # fc2 features, as the reference's IPR (eval_prec_recall.py:52-63
+            # uses classifier[:4] = fc1 -> ReLU -> Dropout -> fc2, NO
+            # trailing ReLU — keeping it would zero negative fc2 components
+            # and change every distance/radius)
             self.net = torch.nn.Sequential(
                 vgg.features, vgg.avgpool, torch.nn.Flatten(),
-                *list(vgg.classifier.children())[:-2],
+                *list(vgg.classifier.children())[:4],
             )
             self.size = 224
         elif arch == "inception":
@@ -159,7 +162,8 @@ def extract_dir_features(
 ) -> np.ndarray:
     """Features for every image in a directory (or a precomputed .npz)."""
     if image_dir.endswith(".npz"):
-        return load_npz_features(image_dir)[0]
+        feats = load_npz_features(image_dir)[0]
+        return feats[:how_many] if how_many is not None else feats
     paths = list_images(image_dir)
     if how_many is not None:
         paths = paths[:how_many]

@@ -155,6 +155,11 @@ def realism(ref: Manifold, feat: np.ndarray) -> float:
     feat = np.asarray(feat, dtype=np.float64).reshape(1, -1)
     dists = pairwise_distances(ref.features, feat)[:, 0]
     mask = ref.radii < np.median(ref.radii)
+    if not mask.any():
+        # degenerate manifold (e.g. duplicate refs -> majority-zero radii):
+        # fall back to all reference balls rather than crashing on an
+        # empty reduction
+        mask = np.ones_like(mask)
     ratios = ref.radii[mask] / np.maximum(dists[mask], 1e-12)
     return float(ratios.max())
 
