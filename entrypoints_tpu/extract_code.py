@@ -83,6 +83,12 @@ def run(args):
     for i, name in enumerate(names):
         img = Image.open(os.path.join(args.images_dir, name)).convert("RGB")
         s = args.image_size
+        # center-crop the long edge before resizing (reference extraction
+        # semantics; a bare (s, s) resize distorts non-square images)
+        w, h = img.size
+        short = min(w, h)
+        img = img.crop(((w - short) // 2, (h - short) // 2,
+                        (w - short) // 2 + short, (h - short) // 2 + short))
         img = img.resize((s, s), Image.LANCZOS)
         arr = np.asarray(img, np.float32) / 127.5 - 1.0
         codes = vqgan.encode(vq_params, vq_cfg, jnp.asarray(arr[None]))

@@ -19,6 +19,13 @@ def add_args(p):
     p.add_argument("--codebook-dim", type=int, default=8)
     p.add_argument("--k", type=int, default=None,
                    help="neighbors to keep (default V-1)")
+    p.add_argument("--l2-normalize", action="store_true",
+                   help="measure distances in the l2-normalized codebook "
+                        "space.  The reference uses the RAW embedding matrix "
+                        "for every family (generate_codebook.py:54-56) even "
+                        "though LlamaGen's runtime VQ quantizes normalized "
+                        "codes — default stays reference-faithful; this "
+                        "flag matches the runtime metric instead")
 
 
 def run(args):
@@ -42,7 +49,8 @@ def run(args):
             key = cands[0]
         codebook = sd[key]
 
-    table = nearest_latents(codebook, k=args.k)
+    table = nearest_latents(codebook, k=args.k,
+                           l2_normalize=getattr(args, "l2_normalize", False))
     os.makedirs(args.save_path, exist_ok=True)
     out = os.path.join(args.save_path, f"top_{table.shape[1]}_indices.npy")
     save_table(out, table)

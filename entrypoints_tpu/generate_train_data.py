@@ -22,6 +22,9 @@ def add_args(p):
     p.add_argument("--base-path", default=None)
     p.add_argument("--random-weights", action="store_true")
     p.add_argument("--codes-dir", default=None, help=".npz files with 'codes'")
+    p.add_argument("--t5-dir", default=None,
+                   help="local T5 checkpoint (real captions; without it the "
+                        "session falls back to hash-seeded pseudo-embeddings)")
     p.add_argument("--self-generate", action="store_true")
     p.add_argument("--prompts", default="a corgi|a red car|a mountain lake")
     p.add_argument("--num-samples", type=int, default=8)
@@ -48,13 +51,16 @@ def run(args):
     if args.random_weights or args.base_path is None:
         sess = LlamaGenSession.random(cfg, None, with_vq=False)
     else:
-        sess = LlamaGenSession.from_pretrained(args.base_path, cfg)
+        sess = LlamaGenSession.from_pretrained(
+            args.base_path, cfg, t5_dir=getattr(args, "t5_dir", None))
     params = sess.params
     rope = tfm.make_rope_tables(cfg)
     Tc = cfg.cls_token_num
 
+    # params as a jit ARGUMENT: a closed-over weight pytree lowers as MLIR
+    # constants (host readback over the remote tunnel, duplicated per shape)
     @jax.jit
-    def teacher_forward(cond, tokens):
+    def teacher_forward(params, cond, tokens, prefix_valid):
         """cond [1, Tc, Dc], tokens [1, T] -> hidden [1, Tc + T, H]."""
         embeds = jnp.concatenate(
             [tfm.cond_embed(params, cfg, cond), tfm.token_embed(params, tokens)],
@@ -62,18 +68,33 @@ def run(args):
         )
         T = embeds.shape[1]
         kv = KVCache.create(cfg, 1, max_len=T)
-        res = tfm.forward(params, cfg, embeds, kv, jnp.arange(T), rope)
+        # caption pads must be masked exactly as AR/spec inference masks
+        # them, or teacher hiddens skew from what the drafter will consume
+        block = (jnp.tril(jnp.ones((T, T), bool))[None]
+                 & prefix_valid[:, None, :T])
+        res = tfm.forward(params, cfg, embeds, kv, jnp.arange(T), rope,
+                          block_mask=block)
         return res.hidden
 
     os.makedirs(args.save_dir, exist_ok=True)
 
     if args.codes_dir:
+        from lantern_tpu.utils.t5 import flip_for_left_padding
+
         sources = sorted(glob.glob(os.path.join(args.codes_dir, "*.npz")))[: args.num_samples]
         items = []
         for s in sources:
             z = np.load(s)
-            items.append((z["codes"].reshape(-1),
-                          z["caption_emb"] if "caption_emb" in z else None))
+            if "caption_emb" in z:
+                # apply the inference-time layout (session._cond_pair):
+                # valid rows flipped to the right, pad rows zeroed
+                emb = z["caption_emb"][None]
+                mask = (z["caption_mask"][None] if "caption_mask" in z
+                        else np.ones(emb.shape[:2], bool))
+                emb, mask = flip_for_left_padding(emb, mask)
+                items.append((z["codes"].reshape(-1), (emb[0], mask[0])))
+            else:
+                items.append((z["codes"].reshape(-1), None))
     else:
         # self-generate with the (vanilla AR) base model
         prompts = [p.strip() for p in args.prompts.split("|")]
@@ -89,11 +110,20 @@ def run(args):
     n_img = cfg.block_size
     for i, (codes, meta) in enumerate(items):
         if isinstance(meta, str) or meta is None:
-            cond, _, _ = sess._cond_pair(meta or "")
+            cond, _, pv = sess._cond_pair(meta or "")
+            cap_valid = (np.ones((1, Tc), bool) if pv is None
+                         else np.asarray(pv)[:1, :Tc])
         else:
-            cond = jnp.asarray(meta)[None]
+            emb, mask = meta
+            cond = jnp.asarray(emb)[None]
+            cap_valid = np.asarray(mask, bool)[None]
         tokens = jnp.asarray(np.asarray(codes, np.int32))[None]
-        hidden = np.asarray(teacher_forward(cond, tokens), dtype=np.float32)[0]
+        T_all_ = Tc + len(codes)
+        valid_row = np.ones((1, T_all_), bool)
+        valid_row[:, :Tc] = cap_valid
+        hidden = np.asarray(
+            teacher_forward(params, cond, tokens, jnp.asarray(valid_row)),
+            dtype=np.float32)[0]
 
         # drafter stream: token_{i+1} paired with hidden_i
         # (cnets input layout; zeros over the conditioning prefix)
@@ -103,7 +133,6 @@ def run(args):
         target = np.concatenate([hidden[1:], np.zeros_like(hidden[:1])], 0)
         loss_mask = np.zeros((T_all,), np.float32)
         loss_mask[Tc - 1 : Tc - 1 + n_img] = 1.0
-        loss_mask[-1] = 0.0
 
         out = os.path.join(args.save_dir, f"sample_{i:06d}.npz")
         np.savez_compressed(

@@ -70,10 +70,11 @@ def var_center_crop_size(w: int, h: int,
 
 
 def center_crop(image: np.ndarray, cw: int, ch: int) -> np.ndarray:
-    """uint8 HWC center crop (resizing up first if needed, bilinear)."""
+    """uint8 HWC center crop, rescaling first (up or down, bilinear) so the
+    short edge covers the crop."""
     h, w = image.shape[:2]
     scale = max(cw / w, ch / h)
-    if scale > 1.0 or (scale < 1.0):
+    if scale != 1.0:
         from PIL import Image as PILImage
 
         nw, nh = max(cw, int(round(w * scale))), max(ch, int(round(h * scale)))

@@ -67,9 +67,15 @@ class RandomT5:
         self.model_max_length = model_max_length
 
     def get_text_embeddings(self, prompts):
+        import hashlib
+
         embs, masks = [], []
         for p in prompts:
-            seed = abs(hash(clean_caption(p))) % (2 ** 31)
+            # stable digest: builtin hash() is salted per process
+            # (PYTHONHASHSEED), which would silently change the "same"
+            # prompt's embedding between data-gen and inference runs
+            digest = hashlib.sha1(clean_caption(p).encode()).digest()
+            seed = int.from_bytes(digest[:4], "little") % (2 ** 31)
             rng = np.random.default_rng(seed)
             n = min(max(len(p.split()), 1) + 2, self.model_max_length)
             e = np.zeros((self.model_max_length, self.dim), np.float32)
