@@ -202,8 +202,9 @@ def tiny_config(
         block_size=block_size if rope_kind == "2d" else 0,
         cond_kind=cond_kind,
         qk_norm=qk_norm,
-        **cond,
-        **kw,
+        # kw overrides cond-derived defaults (double-splat would TypeError
+        # on e.g. tiny_config(cond_kind="label", num_classes=20))
+        **{**cond, **kw},
     )
 
 

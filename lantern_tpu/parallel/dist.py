@@ -28,10 +28,16 @@ def init_distributed(
     if num_processes is None:
         if "WORLD_SIZE" in os.environ:
             num_processes = int(os.environ["WORLD_SIZE"])
-            process_id = int(os.environ.get("RANK", 0))
         elif "SLURM_NPROCS" in os.environ:
             num_processes = int(os.environ["SLURM_NPROCS"])
-            process_id = int(os.environ.get("SLURM_PROCID", 0))
+    if process_id is None:
+        # explicit args win; the env only fills gaps (doc contract)
+        if "RANK" in os.environ:
+            process_id = int(os.environ["RANK"])
+        elif "SLURM_PROCID" in os.environ:
+            process_id = int(os.environ["SLURM_PROCID"])
+        elif num_processes and num_processes > 1:
+            process_id = 0
     if coordinator is None and "MASTER_ADDR" in os.environ:
         coordinator = (
             f"{os.environ['MASTER_ADDR']}:{os.environ.get('MASTER_PORT', '1234')}"

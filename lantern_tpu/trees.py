@@ -93,7 +93,7 @@ reverse_balanced_25 = [
     [0, 0, 0], [0, 0, 1], [0, 0, 2], [0, 1, 0], [0, 1, 1], [1, 0, 0],
     [0, 0, 0, 0], [0, 0, 0, 1], [0, 0, 0, 2], [0, 0, 1, 0], [0, 0, 1, 1],
     [0, 0, 0, 0, 0], [0, 0, 0, 0, 1], [0, 0, 0, 0, 2], [0, 0, 0, 0, 3],
-    [0, 0, 0, 1, 0], [0, 0, 0, 1, 1],
+    [0, 0, 0, 1, 0], [0, 0, 0, 1, 1], [0, 0, 0, 1, 2],
 ]
 
 chain = [[0], [0, 0], [0, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0, 0]]
@@ -179,6 +179,8 @@ def compile_tree(tree_paths: Sequence[Sequence[int]], topk: int = TOPK) -> TreeS
     if len(idx_of) != n:
         raise ValueError("duplicate paths in tree spec")
     for p in paths:
+        if not p:
+            raise ValueError("tree spec contains an empty path")
         if len(p) > 1 and p[:-1] not in idx_of:
             raise ValueError(f"tree spec not prefix-closed at {p}")
         if max(p) >= topk:
@@ -394,6 +396,13 @@ def optimize_tree(
     return sort_paths(chosen)
 
 
+def _compile_fit(paths) -> TreeSpec:
+    """compile_tree with topk widened to the paths' max rank (calibrated
+    trees built with --max-rank > 10 would otherwise fail the rank check)."""
+    widest = max((max(p) + 1 for p in paths if len(p)), default=0)
+    return compile_tree(paths, topk=max(TOPK, widest))
+
+
 def get_tree(name_or_paths) -> TreeSpec:
     """Compile a tree by library name, explicit path list, or a ``.json``
     file written by the calibration flow (scripts/optimize_bench_tree.py:
@@ -403,7 +412,7 @@ def get_tree(name_or_paths) -> TreeSpec:
             import json
 
             with open(name_or_paths) as f:
-                return compile_tree(json.load(f)["paths"])
+                return _compile_fit(json.load(f)["paths"])
         try:
             paths = TREE_LIBRARY[name_or_paths]
         except KeyError:
@@ -411,4 +420,4 @@ def get_tree(name_or_paths) -> TreeSpec:
                 f"unknown tree {name_or_paths!r}; available: {sorted(TREE_LIBRARY)}"
             ) from None
         return compile_tree(paths)
-    return compile_tree(name_or_paths)
+    return _compile_fit(name_or_paths)

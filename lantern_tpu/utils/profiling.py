@@ -37,8 +37,20 @@ class DeviceTimer:
         self.elapsed = 0.0
 
     def __enter__(self):
+        if self.sync_tree is not None:
+            # drain already-dispatched async work first, like the reference
+            # Timer's entry cuda-sync (utils.py:23-34) — otherwise pending
+            # dispatches get attributed to the timed region
+            import jax
+
+            jax.block_until_ready(self.sync_tree)
         self._t0 = time.perf_counter()
         return self
+
+    def set_sync(self, tree):
+        """Point the exit sync at output produced inside the block."""
+        self.sync_tree = tree
+        return tree
 
     def __exit__(self, *exc):
         if self.sync_tree is not None:
@@ -71,10 +83,11 @@ class DecodeStats:
         self.tokens = 0
         self.wall = 0.0
 
-    def record_step(self, accepted: int):
+    def record_step(self, accepted: int, wall: float = 0.0):
         self.accept_hist[int(accepted)] += 1
         self.steps += 1
         self.tokens += int(accepted)
+        self.wall += wall
 
     def record_run(self, steps: int, accept_sum: int, wall: float):
         self.steps += int(steps)
@@ -139,6 +152,17 @@ class MetricLogger:
         from jax.experimental import multihost_utils
 
         keys = sorted(self.meters)
+        # hosts must agree on the meter set: silently summing mismatched
+        # rows would corrupt every synced value
+        key_sig = np.asarray(
+            [np.frombuffer(
+                __import__("hashlib").sha1("|".join(keys).encode()).digest()[:8],
+                np.int64)[0]])
+        sigs = multihost_utils.process_allgather(key_sig)
+        if not (np.asarray(sigs) == key_sig[0]).all():
+            raise ValueError(
+                "MetricLogger.synchronize_between_hosts: hosts disagree on "
+                f"meter keys (this host: {keys})")
         vals = np.asarray(
             [[self.meters[k].total, self.meters[k].count] for k in keys],
             np.float64,
