@@ -193,8 +193,9 @@ def _verify_and_update(
     n_acc = alen + 1                                            # incl. root
     sel_tokens = tree_tokens[sel_slots]                          # [D]
 
-    # --- base KV rollback: compact accepted rows ---
-    base_kv = res.kv.accept_path(sel_slots, n_acc)
+    # --- base KV rollback: compact accepted rows (fused in-kernel gather:
+    # the accepted slots all live in the N1-row provisional tree window) ---
+    base_kv = res.kv.accept_path(sel_slots, n_acc, block_size=N1)
 
     # --- commit tokens ---
     cand_row = jnp.where(jnp.arange(D) < n_acc, sel_tokens, 0)

@@ -121,6 +121,72 @@ def _write_cv(interpret: bool):
     return write
 
 
+def _gather_ok(cache: "KVCache", rel, block_size) -> tuple[bool, bool]:
+    """(use_kernel, interpret) for the fused accept_path gather kernel."""
+    if PALLAS_WRITE == "never" or block_size is None:
+        return False, False
+    interpret = PALLAS_WRITE == "interpret"
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        return False, False
+    for a in (cache.k, cache.v, cache.length, rel):
+        while isinstance(a, _batching.BatchTracer):
+            a = a.val
+        if isinstance(a, (_ad.JVPTracer, _ad.LinearizeTracer)):
+            return False, False
+    if not _kvu.gather_supports(cache.k.shape, block_size, cache.k.dtype):
+        return False, False
+    return True, interpret
+
+
+def _gather_cv(interpret: bool, blk: int):
+    """custom_vmap-wrapped fused rollback kernel (gather accepted rows +
+    contiguous rewrite, all inside one aliased pallas call), cached per
+    (interpret, provisional block size).  Same batching strategy as
+    ``_write_cv``: the request axis folds into the layer-plane grid with
+    per-slot starts and per-slot accepted-path indices."""
+    cache = getattr(_gather_cv, "_cache", {})
+    key = (interpret, blk)
+    if key in cache:
+        return cache[key]
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def gather(k, v, rel, start):
+        return _kvu.gather_write_block(k, v, rel, start, blk,
+                                       interpret=interpret)
+
+    @gather.def_vmap
+    def _rule(axis_size, in_batched, k, v, rel, start):  # noqa: ANN001
+        kb, vb, relb, sb = in_batched
+
+        def bc(x, batched):
+            return x if batched else jnp.broadcast_to(
+                x[None], (axis_size,) + jnp.shape(x))
+
+        k, v = bc(k, kb), bc(v, vb)
+        rels = jnp.asarray(rel, jnp.int32)
+        if not relb:
+            rels = jnp.broadcast_to(rels[None], (axis_size,) + rels.shape)
+        s = jnp.asarray(start, jnp.int32).reshape(-1)
+        s = jnp.broadcast_to(s, (axis_size,))
+        R, L = k.shape[0], k.shape[1]
+
+        def flat(a):
+            return a.reshape((R * L,) + a.shape[2:])
+
+        ko, vo = _kvu.gather_write_block(flat(k), flat(v), rels, s, blk,
+                                         interpret=interpret)
+
+        def unflat(a):
+            return a.reshape((R, L) + a.shape[1:])
+
+        return (unflat(ko), unflat(vo)), (True, True)
+
+    cache[key] = gather
+    _gather_cv._cache = cache
+    return gather
+
+
 def group_dims(n_kv: int, head_dim: int) -> tuple[int, int]:
     """(G, W): number of head groups and group width for the cache layout."""
     if GRP % head_dim == 0 and (n_kv * head_dim) % GRP == 0:
@@ -288,7 +354,8 @@ class KVCache:
         """Advance length by a traced amount (rows must already be in place)."""
         return dataclasses.replace(self, length=self.length + jnp.asarray(n, jnp.int32))
 
-    def accept_path(self, rel_indices: jnp.ndarray, accept_count: jnp.ndarray) -> "KVCache":
+    def accept_path(self, rel_indices: jnp.ndarray, accept_count: jnp.ndarray,
+                    block_size: int | None = None) -> "KVCache":
         """Tree rollback: compact the accepted draft path into the prefix.
 
         ``rel_indices``: [A] int32, positions of the accepted path's nodes
@@ -298,20 +365,33 @@ class KVCache:
         Gathers those rows and rewrites them contiguously at ``length``,
         then advances by ``accept_count``.  Garbage rows past the new length
         are masked out by attention and later overwritten.
+
+        ``block_size``: static size of the provisional tree window the
+        indices point into (all ``rel_indices < block_size``).  When given,
+        the gather happens *inside* the aliased pallas kernel (the XLA
+        ``take`` alternative pays a second latency-bound pass over the
+        cache planes).
         """
-        abs_idx = self.length + jnp.clip(rel_indices, 0)      # [A]
+        rel = jnp.clip(rel_indices, 0)
+        use_gather, g_interp = _gather_ok(self, rel, block_size)
         z = jnp.zeros((), jnp.int32)
-        k_rows = jnp.take(self.k, abs_idx, axis=3)            # [L, B, G, A, W]
-        v_rows = jnp.take(self.v, abs_idx, axis=3)
-        use_kernel, interpret = _pallas_write_ok(self, k_rows, v_rows)
-        if use_kernel:
-            k, v = _write_cv(interpret)(
-                self.k, self.v, k_rows, v_rows, self.length
+        abs_idx = self.length + rel                               # [A]
+        if use_gather:
+            k, v = _gather_cv(g_interp, int(block_size))(
+                self.k, self.v, jnp.minimum(rel, block_size - 1), self.length
             )
         else:
-            at = (z, z, z, self.length, z)
-            k = jax.lax.dynamic_update_slice(self.k, k_rows, at)
-            v = jax.lax.dynamic_update_slice(self.v, v_rows, at)
+            k_rows = jnp.take(self.k, abs_idx, axis=3)            # [L, B, G, A, W]
+            v_rows = jnp.take(self.v, abs_idx, axis=3)
+            use_kernel, interpret = _pallas_write_ok(self, k_rows, v_rows)
+            if use_kernel:
+                k, v = _write_cv(interpret)(
+                    self.k, self.v, k_rows, v_rows, self.length
+                )
+            else:
+                at = (z, z, z, self.length, z)
+                k = jax.lax.dynamic_update_slice(self.k, k_rows, at)
+                v = jax.lax.dynamic_update_slice(self.v, v_rows, at)
         if self.quantized:
             ks = self._put_scale(
                 self.k_scale, jnp.take(self.k_scale, abs_idx, axis=3),

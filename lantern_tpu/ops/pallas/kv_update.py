@@ -1,4 +1,4 @@
-"""In-place KV-cache block writes as an aliased pallas DMA kernel.
+"""In-place KV-cache block writes as aliased pallas DMA kernels.
 
 Why this exists: the cache update is logically
 ``buf[:, :, :, start:start+T, :] = new`` at a *traced* offset.  Expressed as
@@ -19,17 +19,30 @@ read-modify-writes it: old window -> VMEM, new block rolled down by
 ``[start, start+T)`` replaced, window DMA'd back.  Bytes moved ≈ 3x the
 block, independent of the buffer size.
 
-Used by ``kv.KVCache.write`` (tree/provisional block append) and
-``kv.KVCache.accept_path`` (rollback compaction: gather accepted rows with a
-cheap XLA take, then write them back here) — the reference's
-``KVCache.cat`` / ``KVCache.copy`` (kv_cache.py:38-66) as true in-place HBM
-ops instead of torch narrow/copy_.
+Grid blocking: one grid step per layer plane is DMA-latency-bound (measured
+~14 µs/plane on v5e — 0.5 ms for a 36-layer write whose bytes cost ~50 µs),
+so the kernel processes ``Lb`` layer planes per grid step, as many as fit
+the VMEM scratch budget while still sharing one ``start`` (all planes of a
+request slot share theirs).
+
+Two entry points:
+- ``write_block``: append/overwrite a [.., T, W] block at ``start``
+  (``kv.KVCache.write`` — tree/provisional block append; the reference's
+  ``KVCache.cat``, kv_cache.py:52-66).
+- ``gather_write_block``: tree-rollback compaction
+  (``kv.KVCache.accept_path``; the reference's ``KVCache.copy``,
+  kv_cache.py:38-50): rows ``start + rel[j]`` (inside the provisional tree
+  window of ``blk`` rows) are gathered *in VMEM* and rewritten contiguously
+  at ``start`` — one aliased kernel, no XLA gather (a ``jnp.take`` +
+  aliased-write pair costs another full window of latency-bound traffic).
 
 Layout contract matches kv.py: ``buf [L, B, G, S, W]``, ``new
 [L, B, G, T, W]``, both the same dtype; ``start`` is a traced int32 scalar
-with ``start + T <= S``.  T is arbitrary (padded internally; the pad rows
-are masked out of the write).  Static requirements: ``S % ALIGN == 0``,
-``S >= align_up(T) + ALIGN``, ``W % 128 == 0`` (see ``supports``).
+(or [R] with L = R * layers for stacked caches, e.g. vmapped request slots —
+each group of ``layers`` leading planes gets its own start).  T is arbitrary
+(padded internally; the pad rows are masked out of the write).  Static
+requirements: ``S % ALIGN == 0``, ``S >= align_up(T) + ALIGN``,
+``W % 128 == 0`` (see ``supports``).
 """
 
 from __future__ import annotations
@@ -59,33 +72,61 @@ def supports(buf_shape, new_shape, dtype=jnp.bfloat16) -> bool:
     return W % 128 == 0 and S % ALIGN == 0 and S >= Tp + ALIGN
 
 
-def _make_kernel(B, G, S, W, Tp, T_logical, bb, layers_per_start, ALIGN):
+def _block_layers(L, layers_per_start, B, G, Tw, W, itemsize, n_scratch):
+    """(Lb, bb): layer planes and batch rows per grid step.  Lb divides
+    ``layers_per_start`` so every block shares one start; together the
+    ``n_scratch`` VMEM buffers stay under budget."""
+    bb = B
+    per_plane = G * Tw * W * itemsize
+
+    def best_lb(bb):
+        lb = 1
+        for c in range(1, layers_per_start + 1):
+            if layers_per_start % c == 0 and \
+                    n_scratch * c * bb * per_plane <= _VMEM_BUDGET:
+                lb = c
+        return lb
+
+    lb = best_lb(bb)
+    while bb > 1 and lb == 1 and n_scratch * bb * per_plane > _VMEM_BUDGET:
+        if B % (bb // 2):
+            break
+        bb //= 2
+        lb = best_lb(bb)
+    while B % bb:
+        bb -= 1
+    return lb, bb
+
+
+def _make_kernel(B, G, S, W, Tp, T_logical, bb, Lb, layers_per_start, ALIGN):
     Tw = Tp + ALIGN
 
     def _kernel(start_ref, kn, vn, kin, vin, kout, vout, scr_o, scr_n, sem_o, sem_n):
-        l = pl.program_id(0)
+        l0 = pl.program_id(0) * Lb
         b0 = pl.program_id(1) * bb
-        start = start_ref[l // layers_per_start]
+        start = start_ref[l0 // layers_per_start]
         s0a = jnp.minimum((start // ALIGN) * ALIGN, S - Tw)
         s0a = pl.multiple_of(s0a, ALIGN)
         off = start - s0a
-        rows = lax.broadcasted_iota(jnp.int32, (bb, G, Tw, W), 2)
+        rows = lax.broadcasted_iota(jnp.int32, (Lb, bb, G, Tw, W), 3)
         # mask by the *logical* block: pad rows [T_logical, Tp) never land, so
         # callers need no headroom past start + T_logical in the buffer
         in_blk = (rows >= off) & (rows < off + T_logical)
         for n_ref, in_ref, out_ref in ((kn, kin, kout), (vn, vin, vout)):
-            window = (l, pl.ds(b0, bb), slice(None), pl.ds(s0a, Tw), slice(None))
+            window = (pl.ds(l0, Lb), pl.ds(b0, bb), slice(None),
+                      pl.ds(s0a, Tw), slice(None))
             cp_o = pltpu.make_async_copy(in_ref.at[window], scr_o, sem_o)
             cp_o.start()
             cp_n = pltpu.make_async_copy(
-                n_ref.at[l, pl.ds(b0, bb)], scr_n.at[:, :, pl.ds(0, Tp), :], sem_n
+                n_ref.at[pl.ds(l0, Lb), pl.ds(b0, bb)],
+                scr_n.at[:, :, :, pl.ds(0, Tp), :], sem_n
             )
             cp_n.start()
             cp_o.wait()
             cp_n.wait()
             # dynamic_rotate only handles 32-bit lanes; upcast bf16 for the roll
             rolled = pltpu.roll(
-                scr_n[:].astype(jnp.float32), shift=off, axis=2
+                scr_n[:].astype(jnp.float32), shift=off, axis=3
             ).astype(scr_n.dtype)
             scr_o[:] = jnp.where(in_blk, rolled, scr_o[:])
             cp_w = pltpu.make_async_copy(scr_o, out_ref.at[window], sem_o)
@@ -100,9 +141,7 @@ def write_block(
     v_buf: jnp.ndarray,   # [L, B, G, S, W]
     k_new: jnp.ndarray,   # [L, B, G, T, W] same dtype as buf
     v_new: jnp.ndarray,
-    start: jnp.ndarray,   # [] int32, or [R] with L = R * layers (stacked
-                          # caches, e.g. vmapped request slots — each group
-                          # of ``layers`` leading planes gets its own start)
+    start: jnp.ndarray,   # [] int32, or [R] with L = R * layers
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """In-place ``buf[..., start:start+T, :] = new`` for K and V; returns the
@@ -127,18 +166,12 @@ def write_block(
         v_new = jnp.pad(v_new, pad)
     Tw = Tp + ALIGN
     itemsize = jnp.dtype(k_buf.dtype).itemsize
-    bb = B
-    while bb > 1 and 2 * bb * G * Tw * W * itemsize > _VMEM_BUDGET:
-        if B % (bb // 2):
-            break
-        bb //= 2
-    while B % bb:
-        bb -= 1
-    kern = _make_kernel(B, G, S, W, Tp, T, bb, L // R, ALIGN)
+    Lb, bb = _block_layers(L, L // R, B, G, Tw, W, itemsize, n_scratch=2)
+    kern = _make_kernel(B, G, S, W, Tp, T, bb, Lb, L // R, ALIGN)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(L, B // bb),
+        grid=(L // Lb, B // bb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # k_new
             pl.BlockSpec(memory_space=pl.ANY),   # v_new
@@ -150,8 +183,8 @@ def write_block(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bb, G, Tw, W), k_buf.dtype),
-            pltpu.VMEM((bb, G, Tw, W), k_buf.dtype),
+            pltpu.VMEM((Lb, bb, G, Tw, W), k_buf.dtype),
+            pltpu.VMEM((Lb, bb, G, Tw, W), k_buf.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -171,3 +204,124 @@ def write_block(
         ),
         interpret=interpret,
     )(starts, k_new, v_new, k_buf, v_buf)
+
+
+def gather_supports(buf_shape, blk: int, dtype=jnp.bfloat16) -> bool:
+    """Static constraints for ``gather_write_block``: the staged window must
+    cover the whole ``blk``-row provisional block plus alignment slop."""
+    L, B, G, S, W = buf_shape
+    ALIGN = align_rows(dtype)
+    Tp = -(-blk // ALIGN) * ALIGN
+    return W % 128 == 0 and S % ALIGN == 0 and S >= Tp + ALIGN
+
+
+def _make_gather_kernel(G, S, W, Tw, A, bb, Lb, layers_per_start, ALIGN):
+    def _kernel(start_ref, rel_ref, kin, vin, kout, vout, scr, sem):
+        l0 = pl.program_id(0) * Lb
+        b0 = pl.program_id(1) * bb
+        r = l0 // layers_per_start
+        start = start_ref[r]
+        s0a = jnp.minimum((start // ALIGN) * ALIGN, S - Tw)
+        s0a = pl.multiple_of(s0a, ALIGN)
+        off = start - s0a
+        # row index varies only along the sublane axis: keep the iota (and
+        # every comparison mask) [1, 1, 1, Tw, 1] so the big temporaries are
+        # fused selects over the window, not materialized f32 copies
+        rows = lax.broadcasted_iota(jnp.int32, (1, 1, 1, Tw, 1), 3)
+        for in_ref, out_ref in ((kin, kout), (vin, vout)):
+            window = (pl.ds(l0, Lb), pl.ds(b0, bb), slice(None),
+                      pl.ds(s0a, Tw), slice(None))
+            cp = pltpu.make_async_copy(in_ref.at[window], scr, sem)
+            cp.start()
+            cp.wait()
+            data = scr[:]
+            zero = jnp.zeros((), data.dtype)
+            # gather all A source rows BEFORE scattering: targets
+            # [off, off+A) overlap the source region [off, off+blk).
+            # One-hot select+reduce instead of dynamic VMEM slicing: A is
+            # tiny (draft path depth) and the window lives in VMEM.  f32
+            # accumulation is exact — exactly one row survives the select.
+            picked = [
+                jnp.sum(jnp.where(rows == off + rel_ref[r, j], data, zero),
+                        axis=3, keepdims=True, dtype=jnp.float32
+                        ).astype(data.dtype)
+                for j in range(A)
+            ]
+            out = data
+            for j in range(A):
+                out = jnp.where(rows == off + j, picked[j], out)
+            scr[:] = out
+            cp_w = pltpu.make_async_copy(scr, out_ref.at[window], sem)
+            cp_w.start()
+            cp_w.wait()
+
+    return _kernel
+
+
+def gather_write_block(
+    k_buf: jnp.ndarray,   # [L, B, G, S, W]
+    v_buf: jnp.ndarray,
+    rel: jnp.ndarray,     # [A] int32 in [0, blk), or [R, A]
+    start: jnp.ndarray,   # [] int32, or [R] with L = R * layers
+    blk: int,             # static provisional-window rows (>= max(rel) + 1)
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Tree-rollback compaction, fully in-kernel:
+    ``buf[..., start + j, :] = buf[..., start + rel[j], :]`` for j < A.
+    The caller guarantees ``rel < blk`` and ``start + blk <= S`` (the
+    provisional block was written there).  Returns the aliased buffers."""
+    if not gather_supports(k_buf.shape, blk, k_buf.dtype):
+        raise ValueError(
+            f"gather_write_block: unsupported buf={k_buf.shape} blk={blk}"
+        )
+    ALIGN = align_rows(k_buf.dtype)
+    L, B, G, S, W = k_buf.shape
+    starts = jnp.reshape(jnp.asarray(start, jnp.int32), (-1,))
+    R = starts.shape[0]
+    if L % R:
+        raise ValueError(f"gather_write_block: {R} starts don't tile {L} planes")
+    rels = jnp.asarray(rel, jnp.int32)
+    if rels.ndim == 1:
+        rels = rels[None]
+    if rels.shape[0] not in (1, R):
+        raise ValueError(f"gather_write_block: rel rows {rels.shape[0]} != {R}")
+    rels = jnp.broadcast_to(rels, (R, rels.shape[1]))
+    A = rels.shape[1]
+    Tp = -(-blk // ALIGN) * ALIGN
+    Tw = Tp + ALIGN
+    itemsize = jnp.dtype(k_buf.dtype).itemsize
+    # n_scratch=4: one real scratch window + headroom for the compiler's
+    # fused select/reduce temporaries (scoped-vmem OOMs otherwise)
+    Lb, bb = _block_layers(L, L // R, B, G, Tw, W, itemsize, n_scratch=4)
+    kern = _make_gather_kernel(G, S, W, Tw, A, bb, Lb, L // R, ALIGN)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(L // Lb, B // bb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # k_buf (aliased -> out 0)
+            pl.BlockSpec(memory_space=pl.ANY),   # v_buf (aliased -> out 1)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Lb, bb, G, Tw, W), k_buf.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_buf.shape, k_buf.dtype),
+            jax.ShapeDtypeStruct(v_buf.shape, v_buf.dtype),
+        ],
+        # inputs after scalar prefetch: (start, rel, k_buf, v_buf) = 0..3
+        input_output_aliases={2: 0, 3: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(starts, rels, k_buf, v_buf)

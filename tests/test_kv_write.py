@@ -142,3 +142,70 @@ def test_vmapped_write_per_slot_starts():
         np.testing.assert_array_equal(np.asarray(got[0][i]), refs[i][0])
         np.testing.assert_array_equal(np.asarray(got[1][i]), refs[i][1])
         assert int(got[2][i]) == int(refs[i][2])
+
+
+@pytest.mark.parametrize("start", [0, 8, 13, 111, 135])
+@pytest.mark.parametrize("blk", [57, 16, 5])
+def test_gather_write_block_matches_take_dus(start, blk):
+    """Fused rollback kernel == gather + dynamic_update_slice, for unaligned
+    starts and provisional windows that are not tile multiples."""
+    from lantern_tpu.ops.pallas.kv_update import gather_write_block
+
+    L, B, G, S, W = 2, 3, 2, 192, 128
+    A = min(6, blk)
+    rng = np.random.default_rng(start * 100 + blk)
+    kb = jnp.asarray(rng.normal(size=(L, B, G, S, W)), jnp.float32)
+    vb = -kb * 0.5
+    rel = jnp.asarray(rng.integers(0, blk, size=(A,)), jnp.int32)
+    st = jnp.int32(start)
+
+    abs_idx = st + rel
+    z = jnp.zeros((), jnp.int32)
+    k_ref = jax.lax.dynamic_update_slice(
+        kb, jnp.take(kb, abs_idx, axis=3), (z, z, z, st, z))
+    v_ref = jax.lax.dynamic_update_slice(
+        vb, jnp.take(vb, abs_idx, axis=3), (z, z, z, st, z))
+    k2, v2 = gather_write_block(kb, vb, rel, st, blk, interpret=True)
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v_ref))
+
+
+def test_accept_path_block_size_matches_plain(monkeypatch):
+    """KVCache.accept_path(block_size=N) (fused kernel) == the take+write
+    path, single and vmapped with per-slot lengths/paths."""
+    from lantern_tpu.configs import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=256, num_layers=2, num_heads=2,
+        num_kv_heads=2, intermediate_size=256, max_seq_len=192,
+        dtype="float32",
+    )
+    B, T, BLK = 2, 24, 24
+    key = jax.random.PRNGKey(3)
+    k_new = jax.random.normal(key, (cfg.num_layers, B, T, cfg.num_kv_heads, cfg.head_dim))
+
+    def one(length, rel, block_size):
+        c = KVCache.create(cfg, B).commit(length)
+        c = c.write(k_new, k_new * 0.5, advance=False)
+        c = c.accept_path(rel, jnp.int32(3), block_size=block_size)
+        return c.k, c.v, c.length
+
+    lengths = jnp.array([0, 13, 112], jnp.int32)
+    rels = jnp.array([[2, 0, 5, 23], [0, 1, 2, 3], [23, 11, 7, 0]], jnp.int32)
+
+    prev = kvmod.PALLAS_WRITE
+    try:
+        kvmod.PALLAS_WRITE = "never"
+        ref1 = one(lengths[1], rels[1], None)
+        refs = [one(lengths[i], rels[i], None) for i in range(3)]
+        kvmod.PALLAS_WRITE = "interpret"
+        got1 = one(lengths[1], rels[1], BLK)
+        gotv = jax.vmap(lambda le, re: one(le, re, BLK))(lengths, rels)
+    finally:
+        kvmod.PALLAS_WRITE = prev
+    np.testing.assert_array_equal(np.asarray(got1[0]), np.asarray(ref1[0]))
+    np.testing.assert_array_equal(np.asarray(got1[1]), np.asarray(ref1[1]))
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(gotv[0][i]), np.asarray(refs[i][0]))
+        np.testing.assert_array_equal(np.asarray(gotv[1][i]), np.asarray(refs[i][1]))
+        assert int(gotv[2][i]) == int(refs[i][2])
