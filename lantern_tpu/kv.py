@@ -373,12 +373,17 @@ class KVCache:
         cache planes).
         """
         rel = jnp.clip(rel_indices, 0)
+        if block_size is not None:
+            # one clamp feeds BOTH the kernel gather and the scale-plane
+            # gather below — out-of-contract pad indices must not source K/V
+            # and their scales from different rows
+            rel = jnp.minimum(rel, block_size - 1)
         use_gather, g_interp = _gather_ok(self, rel, block_size)
         z = jnp.zeros((), jnp.int32)
         abs_idx = self.length + rel                               # [A]
         if use_gather:
             k, v = _gather_cv(g_interp, int(block_size))(
-                self.k, self.v, jnp.minimum(rel, block_size - 1), self.length
+                self.k, self.v, rel, self.length
             )
         else:
             k_rows = jnp.take(self.k, abs_idx, axis=3)            # [L, B, G, A, W]

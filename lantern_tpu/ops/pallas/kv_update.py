@@ -69,7 +69,11 @@ def supports(buf_shape, new_shape, dtype=jnp.bfloat16) -> bool:
     T = new_shape[-2]
     ALIGN = align_rows(dtype)
     Tp = -(-T // ALIGN) * ALIGN
-    return W % 128 == 0 and S % ALIGN == 0 and S >= Tp + ALIGN
+    # even the minimal Lb=1, bb=1 blocking must fit the scratch budget
+    # (n_scratch=2 staging windows), or _block_layers would still launch a
+    # kernel that fails at Mosaic compile time instead of falling back
+    fits = 2 * G * (Tp + ALIGN) * W * jnp.dtype(dtype).itemsize <= _VMEM_BUDGET
+    return W % 128 == 0 and S % ALIGN == 0 and S >= Tp + ALIGN and fits
 
 
 def _block_layers(L, layers_per_start, B, G, Tw, W, itemsize, n_scratch):
@@ -212,7 +216,10 @@ def gather_supports(buf_shape, blk: int, dtype=jnp.bfloat16) -> bool:
     L, B, G, S, W = buf_shape
     ALIGN = align_rows(dtype)
     Tp = -(-blk // ALIGN) * ALIGN
-    return W % 128 == 0 and S % ALIGN == 0 and S >= Tp + ALIGN
+    # minimal Lb=1, bb=1 blocking must fit the scratch budget (n_scratch=4:
+    # staging window + fused select/reduce temporary headroom)
+    fits = 4 * G * (Tp + ALIGN) * W * jnp.dtype(dtype).itemsize <= _VMEM_BUDGET
+    return W % 128 == 0 and S % ALIGN == 0 and S >= Tp + ALIGN and fits
 
 
 def _make_gather_kernel(G, S, W, Tw, A, bb, Lb, layers_per_start, ALIGN):
@@ -287,6 +294,11 @@ def gather_write_block(
         raise ValueError(f"gather_write_block: rel rows {rels.shape[0]} != {R}")
     rels = jnp.broadcast_to(rels, (R, rels.shape[1]))
     A = rels.shape[1]
+    if A > blk:
+        # scatter targets [start, start+A) are only guaranteed to stay inside
+        # the staged window (and the start+blk <= S caller contract) when
+        # A <= blk; fail loudly instead of diverging from the XLA fallback
+        raise ValueError(f"gather_write_block: {A} rows > blk={blk}")
     Tp = -(-blk // ALIGN) * ALIGN
     Tw = Tp + ALIGN
     itemsize = jnp.dtype(k_buf.dtype).itemsize
