@@ -62,6 +62,11 @@ class ModelConfig:
     # forward() falls back to the dense path off-TPU or when the geometry
     # doesn't fit the kernel (GQA, non-128 group width, custom visibility)
     use_flash_attention: bool = True
+    # dense attention over a short static cache beats the flash kernel's
+    # per-layer launch cost (measured on v5e at XL geometry: ~-0.3 ms/step at
+    # S=512); flash pays off once the cache is long enough that streaming
+    # only the live prefix matters (Lumina's 2.4K-token images)
+    flash_min_seq: int = 1024
 
     # budget
     max_seq_len: int = 2048
@@ -212,11 +217,16 @@ def drafter_config(base: ModelConfig, num_layers: int = 1, **kw) -> DrafterConfi
     """Drafter mirroring a base model's block geometry (reference drafter
     JSONs are 1-hidden-layer copies of the base config).  The drafter's
     2-D RoPE prefix is one shorter than the base's (its inputs are the
-    base's tokens shifted left by one, cnets_llamagen.py:562-574)."""
+    base's tokens shifted left by one, cnets_llamagen.py:562-574).
+
+    Layer-0 input-norm skip is a LlamaGen-drafter quirk
+    (cnets_llamagen.py:466-470); the Chameleon-family drafters normalize
+    every layer (cnets_anole.py:505-549, cnets_lumina_mgpt.py equivalent) —
+    derived here from the base's conditioning kind."""
     m = base.replace(
         num_layers=num_layers,
         cls_token_num=max(base.cls_token_num - 1, 0),
-        first_layer_no_input_norm=True,
+        first_layer_no_input_norm=base.cond_kind != "none",
         final_norm=False,
         cond_kind="none",
     )

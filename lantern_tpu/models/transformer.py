@@ -275,6 +275,7 @@ def forward(
     use_flash = (
         cfg.use_flash_attention and prefix_override is None and nkv == nh
         and S % 128 == 0 and kv.group_width == GRP
+        and S >= cfg.flash_min_seq
         and jax.default_backend() == "tpu"
     )
     kv_quant = kv.quantized

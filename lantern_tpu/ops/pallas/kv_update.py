@@ -53,7 +53,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 6 * 1024 * 1024
+# Mosaic's scoped-vmem stack limit is 16 MiB; the budget below must cover
+# the declared scratch buffers AND the compiler's fused temporaries (the
+# write kernel's f32 roll upcasts, the gather kernel's matmul operands), so
+# callers account them via n_scratch window-equivalents against this cap.
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def align_rows(dtype) -> int:
@@ -70,9 +74,9 @@ def supports(buf_shape, new_shape, dtype=jnp.bfloat16) -> bool:
     ALIGN = align_rows(dtype)
     Tp = -(-T // ALIGN) * ALIGN
     # even the minimal Lb=1, bb=1 blocking must fit the scratch budget
-    # (n_scratch=2 staging windows), or _block_layers would still launch a
+    # (n_scratch=6 window-equivalents), or _block_layers would still launch a
     # kernel that fails at Mosaic compile time instead of falling back
-    fits = 2 * G * (Tp + ALIGN) * W * jnp.dtype(dtype).itemsize <= _VMEM_BUDGET
+    fits = 6 * G * (Tp + ALIGN) * W * jnp.dtype(dtype).itemsize <= _VMEM_BUDGET
     return W % 128 == 0 and S % ALIGN == 0 and S >= Tp + ALIGN and fits
 
 
@@ -105,7 +109,8 @@ def _block_layers(L, layers_per_start, B, G, Tw, W, itemsize, n_scratch):
 def _make_kernel(B, G, S, W, Tp, T_logical, bb, Lb, layers_per_start, ALIGN):
     Tw = Tp + ALIGN
 
-    def _kernel(start_ref, kn, vn, kin, vin, kout, vout, scr_o, scr_n, sem_o, sem_n):
+    def _kernel(start_ref, kn, vn, kin, vin, kout, vout,
+                scr_ok, scr_nk, scr_ov, scr_nv, sem_ok, sem_nk, sem_ov, sem_nv):
         l0 = pl.program_id(0) * Lb
         b0 = pl.program_id(1) * bb
         start = start_ref[l0 // layers_per_start]
@@ -116,16 +121,27 @@ def _make_kernel(B, G, S, W, Tp, T_logical, bb, Lb, layers_per_start, ALIGN):
         # mask by the *logical* block: pad rows [T_logical, Tp) never land, so
         # callers need no headroom past start + T_logical in the buffer
         in_blk = (rows >= off) & (rows < off + T_logical)
-        for n_ref, in_ref, out_ref in ((kn, kin, kout), (vn, vin, vout)):
-            window = (pl.ds(l0, Lb), pl.ds(b0, bb), slice(None),
-                      pl.ds(s0a, Tw), slice(None))
+        window = (pl.ds(l0, Lb), pl.ds(b0, bb), slice(None),
+                  pl.ds(s0a, Tw), slice(None))
+        blk_at = (pl.ds(l0, Lb), pl.ds(b0, bb))
+        # start all four input DMAs up front, then process K while V's
+        # copies are in flight (and V while K's writeback drains) — the
+        # per-plane cost is DMA-latency-bound, so the K/V phases overlap
+        cps = []
+        for scr_o, scr_n, sem_o, sem_n, in_ref, n_ref in (
+                (scr_ok, scr_nk, sem_ok, sem_nk, kin, kn),
+                (scr_ov, scr_nv, sem_ov, sem_nv, vin, vn)):
             cp_o = pltpu.make_async_copy(in_ref.at[window], scr_o, sem_o)
             cp_o.start()
             cp_n = pltpu.make_async_copy(
-                n_ref.at[pl.ds(l0, Lb), pl.ds(b0, bb)],
-                scr_n.at[:, :, :, pl.ds(0, Tp), :], sem_n
+                n_ref.at[blk_at], scr_n.at[:, :, :, pl.ds(0, Tp), :], sem_n
             )
             cp_n.start()
+            cps.append((cp_o, cp_n))
+        writes = []
+        for (cp_o, cp_n), scr_o, scr_n, sem_o, out_ref in (
+                (cps[0], scr_ok, scr_nk, sem_ok, kout),
+                (cps[1], scr_ov, scr_nv, sem_ov, vout)):
             cp_o.wait()
             cp_n.wait()
             # dynamic_rotate only handles 32-bit lanes; upcast bf16 for the roll
@@ -135,6 +151,8 @@ def _make_kernel(B, G, S, W, Tp, T_logical, bb, Lb, layers_per_start, ALIGN):
             scr_o[:] = jnp.where(in_blk, rolled, scr_o[:])
             cp_w = pltpu.make_async_copy(scr_o, out_ref.at[window], sem_o)
             cp_w.start()
+            writes.append(cp_w)
+        for cp_w in writes:
             cp_w.wait()
 
     return _kernel
@@ -170,7 +188,8 @@ def write_block(
         v_new = jnp.pad(v_new, pad)
     Tw = Tp + ALIGN
     itemsize = jnp.dtype(k_buf.dtype).itemsize
-    Lb, bb = _block_layers(L, L // R, B, G, Tw, W, itemsize, n_scratch=2)
+    # 4 staging windows + 2 window-equivalents for the f32 roll temporaries
+    Lb, bb = _block_layers(L, L // R, B, G, Tw, W, itemsize, n_scratch=6)
     kern = _make_kernel(B, G, S, W, Tp, T, bb, Lb, L // R, ALIGN)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -187,8 +206,12 @@ def write_block(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Lb, bb, G, Tw, W), k_buf.dtype),
-            pltpu.VMEM((Lb, bb, G, Tw, W), k_buf.dtype),
+            pltpu.VMEM((Lb, bb, G, Tw, W), k_buf.dtype),  # K old window
+            pltpu.VMEM((Lb, bb, G, Tw, W), k_buf.dtype),  # K new block
+            pltpu.VMEM((Lb, bb, G, Tw, W), k_buf.dtype),  # V old window
+            pltpu.VMEM((Lb, bb, G, Tw, W), k_buf.dtype),  # V new block
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -216,14 +239,15 @@ def gather_supports(buf_shape, blk: int, dtype=jnp.bfloat16) -> bool:
     L, B, G, S, W = buf_shape
     ALIGN = align_rows(dtype)
     Tp = -(-blk // ALIGN) * ALIGN
-    # minimal Lb=1, bb=1 blocking must fit the scratch budget (n_scratch=4:
-    # staging window + fused select/reduce temporary headroom)
-    fits = 4 * G * (Tp + ALIGN) * W * jnp.dtype(dtype).itemsize <= _VMEM_BUDGET
+    # minimal Lb=1, bb=1 blocking must fit the scratch budget (n_scratch=9:
+    # two staging windows + staged matmul operand/result headroom)
+    fits = 9 * G * (Tp + ALIGN) * W * jnp.dtype(dtype).itemsize <= _VMEM_BUDGET
     return W % 128 == 0 and S % ALIGN == 0 and S >= Tp + ALIGN and fits
 
 
 def _make_gather_kernel(G, S, W, Tw, A, bb, Lb, layers_per_start, ALIGN):
-    def _kernel(start_ref, rel_ref, kin, vin, kout, vout, scr, sem):
+    def _kernel(start_ref, rel_ref, kin, vin, kout, vout, scr_k, scr_v,
+                sem_k, sem_v):
         l0 = pl.program_id(0) * Lb
         b0 = pl.program_id(1) * bb
         r = l0 // layers_per_start
@@ -231,35 +255,47 @@ def _make_gather_kernel(G, S, W, Tw, A, bb, Lb, layers_per_start, ALIGN):
         s0a = jnp.minimum((start // ALIGN) * ALIGN, S - Tw)
         s0a = pl.multiple_of(s0a, ALIGN)
         off = start - s0a
-        # row index varies only along the sublane axis: keep the iota (and
-        # every comparison mask) [1, 1, 1, Tw, 1] so the big temporaries are
-        # fused selects over the window, not materialized f32 copies
-        rows = lax.broadcasted_iota(jnp.int32, (1, 1, 1, Tw, 1), 3)
-        for in_ref, out_ref in ((kin, kout), (vin, vout)):
-            window = (pl.ds(l0, Lb), pl.ds(b0, bb), slice(None),
-                      pl.ds(s0a, Tw), slice(None))
-            cp = pltpu.make_async_copy(in_ref.at[window], scr, sem)
-            cp.start()
-            cp.wait()
+        window = (pl.ds(l0, Lb), pl.ds(b0, bb), slice(None),
+                  pl.ds(s0a, Tw), slice(None))
+        cp_k = pltpu.make_async_copy(kin.at[window], scr_k, sem_k)
+        cp_k.start()
+        cp_v = pltpu.make_async_copy(vin.at[window], scr_v, sem_v)
+        cp_v.start()
+        # Compaction as ONE permutation matmul per window instead of A
+        # select/reduce passes: P[t, s] = 1 where t in [off, off+A) picks its
+        # source row off+rel[t-off], identity elsewhere.  Exactly one 1 per
+        # row, so the f32-accumulated product is bit-exact row copying; the
+        # MXU does the whole window in a single pass (P is built while the
+        # input DMAs are in flight).
+        t = lax.broadcasted_iota(jnp.int32, (Tw, Tw), 0)
+        s = lax.broadcasted_iota(jnp.int32, (Tw, Tw), 1)
+        P = ((t == s) & ((t < off) | (t >= off + A))).astype(jnp.float32)
+        for j in range(A):
+            P = P + ((t == off + j) & (s == off + rel_ref[r, j])).astype(
+                jnp.float32)
+
+        def apply(scr):
             data = scr[:]
-            zero = jnp.zeros((), data.dtype)
-            # gather all A source rows BEFORE scattering: targets
-            # [off, off+A) overlap the source region [off, off+blk).
-            # One-hot select+reduce instead of dynamic VMEM slicing: A is
-            # tiny (draft path depth) and the window lives in VMEM.  f32
-            # accumulation is exact — exactly one row survives the select.
-            picked = [
-                jnp.sum(jnp.where(rows == off + rel_ref[r, j], data, zero),
-                        axis=3, keepdims=True, dtype=jnp.float32
-                        ).astype(data.dtype)
-                for j in range(A)
-            ]
-            out = data
-            for j in range(A):
-                out = jnp.where(rows == off + j, picked[j], out)
-            scr[:] = out
+            # contract in bf16 (f32 for f32 caches): exactly one 1.0 per P
+            # row, so the f32-accumulated copy is bit-exact for bf16 values
+            # and for int8 integers (<= 127, exact in bf16); bf16 operands
+            # avoid materializing f32 copies of the whole window
+            ct = jnp.float32 if data.dtype == jnp.float32 else jnp.bfloat16
+            x = data.reshape(Lb * bb * G, Tw, W).astype(ct)
+            Pc = P.astype(ct)
+            y = jax.vmap(lambda m: jax.lax.dot(
+                Pc, m, preferred_element_type=jnp.float32))(x)
+            scr[:] = y.astype(data.dtype).reshape(data.shape)
+
+        writes = []
+        for cp, scr, sem, out_ref in ((cp_k, scr_k, sem_k, kout),
+                                      (cp_v, scr_v, sem_v, vout)):
+            cp.wait()
+            apply(scr)
             cp_w = pltpu.make_async_copy(scr, out_ref.at[window], sem)
             cp_w.start()
+            writes.append(cp_w)
+        for cp_w in writes:
             cp_w.wait()
 
     return _kernel
@@ -302,9 +338,10 @@ def gather_write_block(
     Tp = -(-blk // ALIGN) * ALIGN
     Tw = Tp + ALIGN
     itemsize = jnp.dtype(k_buf.dtype).itemsize
-    # n_scratch=4: one real scratch window + headroom for the compiler's
-    # fused select/reduce temporaries (scoped-vmem OOMs otherwise)
-    Lb, bb = _block_layers(L, L // R, B, G, Tw, W, itemsize, n_scratch=4)
+    # n_scratch=9: two real scratch windows + the permutation matmul's
+    # staged operand/result copies (measured: Mosaic keeps ~4.3 window-
+    # equivalents per plane alive at bf16; 17.25M scoped-vmem at Lb=4)
+    Lb, bb = _block_layers(L, L // R, B, G, Tw, W, itemsize, n_scratch=9)
     kern = _make_gather_kernel(G, S, W, Tw, A, bb, Lb, L // R, ALIGN)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -320,6 +357,8 @@ def gather_write_block(
         ],
         scratch_shapes=[
             pltpu.VMEM((Lb, bb, G, Tw, W), k_buf.dtype),
+            pltpu.VMEM((Lb, bb, G, Tw, W), k_buf.dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )

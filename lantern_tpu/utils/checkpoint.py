@@ -225,6 +225,21 @@ def drafter_params_from_torch(
         "w_up": S("layers.{}.mlp.up_proj.weight", True),
         "w_down": S("layers.{}.mlp.down_proj.weight", True),
     }
+    if m.qk_norm:
+        # Chameleon-family drafters carry per-head QK-norm
+        # (cnets_anole.py:363-364); params stored [heads, head_dim]
+        hd = m.head_dim
+
+        def QN(fmt, heads):
+            return jnp.asarray(np.stack([
+                np.asarray(sd[fmt.format(l)]).reshape(-1, hd)[:heads]
+                for l in range(L)
+            ])).astype(dt)
+
+        layers["q_norm_w"] = QN("layers.{}.self_attn.q_norm.weight", m.num_heads)
+        layers["q_norm_b"] = QN("layers.{}.self_attn.q_norm.bias", m.num_heads)
+        layers["k_norm_w"] = QN("layers.{}.self_attn.k_norm.weight", m.num_kv_heads)
+        layers["k_norm_b"] = QN("layers.{}.self_attn.k_norm.bias", m.num_kv_heads)
     params = {
         "layers": layers,
         "fc_w": jnp.asarray(sd["fc.weight"].T).astype(dt),

@@ -227,17 +227,18 @@ def main():
         return h.sum()
     timed("drafter extend", loop_extend, dparams, draft_kv)
 
-    # 5. KV rollback (accept_path gather + write)
+    # 5. KV rollback (fused accept_path gather kernel — the engine passes
+    # block_size=N1, spec.py:198; without it the take+write fallback runs)
     sel = jnp.arange(D, dtype=jnp.int32)
 
     @jax.jit
     def loop_accept(kv):
         def body(kv, _):
-            kv2 = kv.accept_path(sel, jnp.int32(0))
+            kv2 = kv.accept_path(sel, jnp.int32(0), block_size=N1)
             return kv2, kv2.k[0, 0, 0, 0, 0]
         _, h = jax.lax.scan(body, kv, None, length=ITERS)
         return h.sum()
-    timed("kv accept_path", loop_accept, base_kv)
+    timed("kv accept_path (fused)", loop_accept, base_kv)
 
     # 6. stochastic verify walk (the acceptance glue)
     children = np.asarray(tree.children)
