@@ -229,5 +229,8 @@ def drafter_config(base: ModelConfig, num_layers: int = 1, **kw) -> DrafterConfi
         first_layer_no_input_norm=base.cond_kind != "none",
         final_norm=False,
         cond_kind="none",
+        # every reference drafter layer is pre-norm (cnets_* hardcode the
+        # LLaMA residual ordering) even when the base model is swin-norm
+        swin_norm=False,
     )
     return DrafterConfig(model=m, **kw)

@@ -86,20 +86,27 @@ def measure_rank_probs(
             else jnp.concatenate([jnp.atleast_1d(cond), jnp.atleast_1d(uncond)])
         )
         hid = _teacher_hidden(params, cfg, cond_pair, toks, rope)
-        # drafter input at step t: (embed(tok_t), base hidden that emitted
-        # tok_t) = hidden at position Tc-1+t; predicts tok_{t+1}
+        # Drafter stream EXACTLY as the engine feeds it (spec.prefill_request
+        # + drf.extend): Tc-1 zero-token prefix rows paired with the base's
+        # conditioning hiddens, then (tok_t, hidden that emitted tok_t) at
+        # drafter position Tc-1+t — the row scoring tok_{t+1}.  Feeding only
+        # the image stream at positions 0.. (the old form) breaks the 2-D
+        # RoPE alignment and reports garbage ranks.
         T = toks.shape[0]
-        dr_tokens = jnp.broadcast_to(toks[None], (2, T))
-        dr_hidden = hid[:, Tc - 1: Tc - 1 + T]
+        Dp = Tc - 1 + T
+        dr_tokens = jnp.broadcast_to(
+            jnp.concatenate([jnp.zeros((Tc - 1,), toks.dtype), toks])[None],
+            (2, Dp))
+        dr_hidden = hid[:, :Dp]
         mcfg = dcfg.model.replace(use_flash_attention=False)
-        kv = KVCache.create(mcfg, 2, max_len=T)
+        kv = KVCache.create(mcfg, 2, max_len=Dp)
         x = drf.fuse_inputs(dparams, dr_tokens, dr_hidden)
-        out = tfm.forward(dparams, mcfg, x, kv, jnp.arange(T), drope,
-                          commit=False).hidden                # [2, T, H]
-        logits = cfg_combine(head(params, out), cfg_scale)[0]  # [T, V]
+        out = tfm.forward(dparams, mcfg, x, kv, jnp.arange(Dp), drope,
+                          commit=False).hidden                # [2, Dp, H]
+        logits = cfg_combine(head(params, out), cfg_scale)[0]  # [Dp, V]
         # rank of the true next token among the drafter's logits
         true_next = toks[1:]                                  # [T-1]
-        lg = logits[:-1]                                      # [T-1, V]
+        lg = logits[Tc - 1: Dp - 1]                           # [T-1, V]
         true_lg = jnp.take_along_axis(lg, true_next[:, None], axis=1)
         ranks = jnp.sum(lg > true_lg, axis=1)                 # [T-1]
         r = np.asarray(ranks)

@@ -47,6 +47,13 @@ class SpecDecodeConfig:
     max_new: int = 256
     mode: str = "static"            # "static" (EAGLE-1) | "dynamic" (EAGLE-2)
     kv_quant: bool = False          # int8 base KV cache (kv.py quantized=True)
+    # parity-test hook: pin every stochastic choice — acceptance coins become
+    # this constant, drafter proposals become deterministic top-k, bonus/t0
+    # sampling becomes argmax.  Lets golden tests token-match the reference's
+    # do_sample=True path (whose greedy branch is NotImplemented for Lumina,
+    # ea_model_lumina_mgpt.py:729) with random.random() mocked to the same
+    # constant.  None = real sampling.
+    pin: Optional[float] = None
 
 
 class SpecState(NamedTuple):
@@ -178,15 +185,23 @@ def _verify_and_update(
     else:
         # O(depth x children) tree walk (equivalent to the reference's
         # path-table scan; see tests/test_acceptance.py)
+        pinned_u = (None if ecfg.pin is None else
+                    jnp.full((max_depth, children.shape[1]), ecfg.pin,
+                             jnp.float32))
         walk_path, alen, dist = acc.stochastic_verify_tree(
             verify_rng, logits_all, tree_tokens, children,
             depth=max_depth, warp=ecfg.warp,
             nearest=ctx.nearest, lantern=ecfg.lantern,
             node_q=node_q, level_probs=level_probs,
             node_level_row=inlevel_rank,
+            uniforms=pinned_u,
             rt=ctx.lantern_rt,
         )
-        bonus = jax.random.categorical(bonus_rng, jnp.log(jnp.maximum(dist, 1e-30))).astype(jnp.int32)
+        if ecfg.pin is None:
+            bonus = jax.random.categorical(
+                bonus_rng, jnp.log(jnp.maximum(dist, 1e-30))).astype(jnp.int32)
+        else:
+            bonus = jnp.argmax(dist).astype(jnp.int32)
         # pad the slot path to the retrieve width D
         sel_slots = jnp.zeros((D,), jnp.int32).at[: walk_path.shape[0]].set(walk_path)
 
@@ -280,6 +295,7 @@ def make_static_step(
             quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.warp, draft_rng,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
             logits_fn=ctx.logits_fn, prefix_valid=ctx.drafter_pv,
+            pin=ecfg.pin,
         )
         return state._replace(draft=new_draft, draft_kv=dkv, rng=rng)
 
@@ -382,7 +398,9 @@ def prefill_request(
         base_kv = res.kv
         logits0 = cfg_combine(tfm.logits_head(ctx.params, res.hidden[:, -1:]), ecfg.cfg_scale)
         rng, r0 = jax.random.split(rng)
-        t0 = sample_token(r0, _mask_logits(logits0[0, -1], logits_mask), ecfg.warp).astype(jnp.int32)
+        l0 = _mask_logits(logits0[0, -1], logits_mask)
+        t0 = (jnp.argmax(l0) if ecfg.pin is not None
+              else sample_token(r0, l0, ecfg.warp)).astype(jnp.int32)
 
         # ---- drafter prefill: (shifted tokens, base hiddens) ----
         dtok = jnp.concatenate(
@@ -419,7 +437,8 @@ def prefill_request(
             first_logits = logits_fn(
                 first_logits[None, :], (L - 1) + jnp.zeros((1,), jnp.int32)
             )[0]
-        t0 = sample_token(r0, first_logits, ecfg.warp).astype(jnp.int32)
+        t0 = (jnp.argmax(first_logits) if ecfg.pin is not None
+              else sample_token(r0, first_logits, ecfg.warp)).astype(jnp.int32)
 
         # ---- drafter prefill: tokens shifted left one, hiddens aligned ----
         dtok = jnp.concatenate(
@@ -444,6 +463,7 @@ def prefill_request(
             quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.warp, draft_rng,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
             logits_fn=ctx.logits_fn, prefix_valid=ctx.drafter_pv,
+            pin=ecfg.pin,
         )
     else:
         draft, draft_kv = drf.draft_dynamic(

@@ -169,10 +169,15 @@ def draft_static(
     logits_mask: Optional[jnp.ndarray] = None,
     logits_fn=None,
     prefix_valid: Optional[jnp.ndarray] = None,
+    pin: Optional[float] = None,
 ) -> tuple[StaticDraft, KVCache]:
     """EAGLE-1 static-tree drafting (topK_genrate_v1).  Returns the draft and
     the cache whose buffer now holds the provisional tree-level rows (length
-    unchanged)."""
+    unchanged).
+
+    ``pin`` (parity-test hook, see SpecDecodeConfig.pin): proposals become
+    deterministic top-k of the warped distribution, with the same residual
+    q-probs the sampled path computes."""
     K = spec.topk
     S = kv.max_len
     sampling = warp.active
@@ -184,6 +189,12 @@ def draft_static(
         """[rows, V] cfg-combined logits -> (idx [rows,K], q [rows,K], dist)."""
         if sampling:
             probs = jax.nn.softmax(warp_logits(logits, warp), axis=-1)
+            if pin is not None:
+                p_sel, idx = jax.lax.top_k(probs, K)
+                prev_cum = jnp.cumsum(p_sel, axis=-1) - p_sel
+                q = p_sel / (1.0 - prev_cum)
+                q = jnp.where(jnp.isfinite(q), jnp.clip(q, 0.0, 1.0), 0.0)
+                return idx.astype(jnp.int32), q, probs
             idx, q = sample_without_replacement(rng, probs, K)
             return idx, q, probs
         idx = jax.lax.top_k(logits, K)[1].astype(jnp.int32)

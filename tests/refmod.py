@@ -21,6 +21,15 @@ _STUBS = {
 
 
 def _ensure_pkg():
+    # newer transformers dropped LogitsWarper (merged into LogitsProcessor);
+    # the reference imports it (ea_model_lumina_mgpt.py:14) — alias it back
+    try:
+        from transformers.generation import logits_process as _lp
+
+        if not hasattr(_lp, "LogitsWarper"):
+            _lp.LogitsWarper = _lp.LogitsProcessor
+    except ImportError:
+        pass
     if "models" not in sys.modules:
         pkg = types.ModuleType("models")
         pkg.__path__ = [f"{REF_ROOT}/models"]
