@@ -142,6 +142,7 @@ class LlamaGenSession:
         temperature: float = 1.0,
         top_k: int = 2000,
         top_p: float = 1.0,
+        drafter_top_k: Optional[int] = None,
         cfg_scale: float = 7.5,
         mode: str = "static",            # "static" | "dynamic" | "ar"
         tree: str = "naive_extend_57",
@@ -167,10 +168,13 @@ class LlamaGenSession:
             toks = np.asarray(res.tokens)
             return toks, GenStats(1.0, dt, max_new, max_new)
 
+        dwarp = (None if drafter_top_k is None else
+                 dataclasses.replace(warp, top_k=drafter_top_k))
         ecfg = spec.SpecDecodeConfig(
             warp=warp, cfg_scale=cfg_scale,
             lantern=LanternSpec(k=lantern_k, delta=lantern_delta),
             max_new=max_new, mode=mode, kv_quant=kv_quant,
+            drafter_warp=dwarp,
         )
         tspec = trees.get_tree(tree) if mode == "static" else None
         res = spec.generate(
@@ -196,11 +200,11 @@ class LlamaGenSession:
 
 @dataclasses.dataclass
 class ChameleonSession:
-    """Anole / Lumina-mGPT generation session over token prompts.
+    """Anole / Lumina-mGPT generation session.
 
-    Prompts are Chameleon BPE token lists (callers tokenize text with the
-    family tokenizer; a hash-based fallback keeps smoke tests runnable).
-    Generated image tokens translate to VQ codes by the image-token offset.
+    Prompts are raw text (tokenized with the checkpoint's Chameleon BPE,
+    ``models/bpe.ChameleonBPE``) or pre-tokenized BPE id lists.  Generated
+    image tokens translate to VQ codes by the image-token offset.
     """
 
     cfg: ModelConfig
@@ -213,6 +217,7 @@ class ChameleonSession:
     vq_params: Optional[dict] = None
     fsm_overrides: Optional[dict] = None  # LuminaGridFSM id overrides
     #   (newline_id / image_end_id / image_lo / image_hi — small-vocab tests)
+    tokenizer: object = None         # ChameleonBPE (or any str -> List[int])
 
     @classmethod
     def from_pretrained(
@@ -225,15 +230,27 @@ class ChameleonSession:
         nearest_path: Optional[str] = None,
         family: str = "anole",
         grid=(32, 32),
+        tokenizer_path: Optional[str] = None,
     ) -> "ChameleonSession":
         """Load HF Chameleon-family checkpoints (Anole-7b / Lumina-mGPT) +
-        optional EAGLE drafter, taming VQGAN, and LANTERN nearest table."""
+        optional EAGLE drafter, taming VQGAN, LANTERN nearest table, and the
+        checkpoint's BPE tokenizer (searched under ``base_path`` when
+        ``tokenizer_path`` is not given; missing files just disable raw-text
+        prompts)."""
         from ..models import chameleon as cham
+        from ..models.bpe import ChameleonBPE, load_tokenizer
         from ..ops.vq_distance import load_table
         from ..utils import checkpoint as ckpt
 
         sd = ckpt.load_torch_dir(base_path)
         params = ckpt.chameleon_params_from_torch(sd, cfg)
+        if tokenizer_path is not None:
+            tokenizer = load_tokenizer(tokenizer_path)
+        else:
+            try:
+                tokenizer = ChameleonBPE.from_checkpoint_dir(base_path)
+            except FileNotFoundError:
+                tokenizer = None
         dparams = None
         if drafter_path is not None:
             if dcfg is None:
@@ -242,7 +259,7 @@ class ChameleonSession:
             dparams = ckpt.drafter_params_from_torch(dsd, dcfg,
                                                      embed=params["embed"])
         sess = cls(cfg=cfg, dcfg=dcfg, params=params, dparams=dparams,
-                   family=family, grid=grid)
+                   family=family, grid=grid, tokenizer=tokenizer)
         if vq_path is not None:
             sess.vq_cfg = vqgan.chameleon_vq_config()
             sess.vq_params = vqgan.load_taming_state_dict(
@@ -258,7 +275,8 @@ class ChameleonSession:
         from ..models.item_processor import FlexARItemProcessor
 
         return FlexARItemProcessor(vq_params=self.vq_params,
-                                   vq_cfg=self.vq_cfg)
+                                   vq_cfg=self.vq_cfg,
+                                   tokenizer=self.tokenizer)
 
     def decode_ids(self, tokens):
         """Generated stream -> (text token spans, decoded uint8 images)
@@ -284,9 +302,18 @@ class ChameleonSession:
         return cls(cfg=cfg, dcfg=dcfg, params=params, dparams=dparams,
                    family=family, grid=grid)
 
-    def _prompt(self, text_tokens):
+    def _prompt(self, text_or_tokens):
         from ..models import chameleon as cham
 
+        if isinstance(text_or_tokens, str):
+            if self.tokenizer is None:
+                raise ValueError(
+                    "raw-text prompts need a tokenizer — pass tokenizer_path "
+                    "to from_pretrained (the tokenizer json ships inside "
+                    "every Anole/Lumina checkpoint) or set .tokenizer")
+            text_tokens = list(self.tokenizer(text_or_tokens))
+        else:
+            text_tokens = list(text_or_tokens)
         if self.family == "anole":
             return cham.anole_token_prompt(text_tokens)
         return cham.lumina_token_prompt(text_tokens, grid=self.grid)
@@ -298,6 +325,7 @@ class ChameleonSession:
         temperature: float = 1.0,
         top_k: int = 2000,
         top_p: float = 1.0,
+        drafter_top_k: Optional[int] = None,
         cfg_scale: float = 3.0,
         mode: str = "static",
         tree: str = "mc_sim_7b_63",
@@ -315,7 +343,7 @@ class ChameleonSession:
             max_new = h * w if self.family == "anole" else h * (w + 1) + 1
         warp = LogitsWarp(temperature=temperature, top_k=top_k, top_p=top_p,
                           warp_order=warp_order)
-        tp = self._prompt(list(text_tokens))
+        tp = self._prompt(text_tokens)
         mask = jnp.asarray(cham.non_image_token_mask(cfg.vocab_size))
         logits_fn = None
         if self.family == "lumina":
@@ -334,10 +362,13 @@ class ChameleonSession:
             jax.block_until_ready(res.tokens)
             dt = time.perf_counter() - t0
             return np.asarray(res.tokens), GenStats(1.0, dt, max_new, max_new)
+        dwarp = (None if drafter_top_k is None else
+                 dataclasses.replace(warp, top_k=drafter_top_k))
         ecfg = spec.SpecDecodeConfig(
             warp=warp, cfg_scale=cfg_scale,
             lantern=LanternSpec(k=lantern_k, delta=lantern_delta),
             max_new=max_new, mode=mode, kv_quant=kv_quant,
+            drafter_warp=dwarp,
         )
         tspec = trees.get_tree(tree) if mode == "static" else None
         res = spec.generate(

@@ -54,6 +54,14 @@ class SpecDecodeConfig:
     # ea_model_lumina_mgpt.py:729) with random.random() mocked to the same
     # constant.  None = real sampling.
     pin: Optional[float] = None
+    # separate drafter warp (reference drafter_top_k,
+    # ea_model_lumina_mgpt.py:825-831: the drafter's logits processors get
+    # their own top-k while the verifier keeps top_k).  None = share `warp`.
+    drafter_warp: Optional[LogitsWarp] = None
+
+    @property
+    def dwarp(self) -> LogitsWarp:
+        return self.drafter_warp if self.drafter_warp is not None else self.warp
 
 
 class SpecState(NamedTuple):
@@ -292,7 +300,7 @@ def make_static_step(
         rng, draft_rng = jax.random.split(state.rng)
         new_draft, dkv = drf.draft_static(
             ctx.dparams, dcfg, spec, ctx.drope, state.draft_kv, root_hidden,
-            quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.warp, draft_rng,
+            quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.dwarp, draft_rng,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
             logits_fn=ctx.logits_fn, prefix_valid=ctx.drafter_pv,
             pin=ecfg.pin,
@@ -325,7 +333,7 @@ def make_dynamic_step(
 
         new_draft, dkv = drf.draft_dynamic(
             ctx.dparams, dcfg, ctx.drope, state.draft_kv, root_hidden,
-            state.root_token, quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.warp,
+            state.root_token, quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.dwarp,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
             logits_fn=ctx.logits_fn, prefix_valid=ctx.drafter_pv,
         )
@@ -460,7 +468,7 @@ def prefill_request(
     if ecfg.mode == "static":
         draft, draft_kv = drf.draft_static(
             ctx.dparams, dcfg, spec, drope, dk, root_hidden,
-            quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.warp, draft_rng,
+            quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.dwarp, draft_rng,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
             logits_fn=ctx.logits_fn, prefix_valid=ctx.drafter_pv,
             pin=ecfg.pin,
@@ -468,7 +476,7 @@ def prefill_request(
     else:
         draft, draft_kv = drf.draft_dynamic(
             ctx.dparams, dcfg, drope, dk, root_hidden, t0,
-            quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.warp,
+            quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.dwarp,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
             logits_fn=ctx.logits_fn, prefix_valid=ctx.drafter_pv,
         )
