@@ -60,6 +60,10 @@ def add_args(p):
                         "ea_model_llamagen.py:202-226)")
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--drafter-top-k", type=int, default=10)
+    p.add_argument("--slots", type=int, default=1,
+                   help="continuous-batching slot count (>1 drives the "
+                        "BatchedEngine+Scheduler serving path; requires "
+                        "--model-type eagle)")
 
 
 def load_prompts(args):
@@ -132,30 +136,51 @@ def run(args):
             else ("static" if args.static_tree else "dynamic"))
     stats = {}
     end = min(args.end_idx, len(prompts))
-    for idx in range(args.start_idx, end):
-        prompt = prompts[idx]
-        toks, st = sess.generate(
-            prompt,
-            max_new=args.max_new,
-            temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-            cfg_scale=args.cfg, mode=mode, tree=args.tree_choices,
-            lantern_k=args.lantern_k if args.lantern else 0,
-            lantern_delta=args.lantern_delta if args.lantern else 0.0,
-            seed=args.seed + idx,
-            kv_quant=getattr(args, "kv_quant", False),
-        )
-        if sess.vq_params is not None:
+    gen_kw = dict(
+        max_new=args.max_new,
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        cfg_scale=args.cfg, tree=args.tree_choices,
+        lantern_k=args.lantern_k if args.lantern else 0,
+        lantern_delta=args.lantern_delta if args.lantern else 0.0,
+        kv_quant=getattr(args, "kv_quant", False),
+    )
+
+    def save_image(idx, toks):
+        if sess.vq_params is not None and toks is not None:
             img = sess.decode_ids(toks)[0]
             Image.fromarray(img).save(
-                os.path.join(args.output_dir, f"prompt_{idx}.png")
-            )
-        stats[f"prompt_{idx}"] = {
-            "prompt": prompt,
-            "step_compression": st.step_compression,
-            "latency": st.latency,
-        }
-        print(f"[{idx}] steps={st.steps} compression={st.step_compression:.3f} "
-              f"latency={st.latency:.2f}s")
+                os.path.join(args.output_dir, f"prompt_{idx}.png"))
+
+    slots = getattr(args, "slots", 1)
+    if slots > 1 and mode != "ar":
+        # continuous batching: R requests share every weight stream
+        # (reference role: vllm_inference_solver.py:243-343)
+        sel = list(range(args.start_idx, end))
+        reqs = sess.generate_batch(
+            [prompts[i] for i in sel], slots=slots, mode=mode,
+            seed=args.seed + args.start_idx, progress=True, **gen_kw)
+        for off, req in enumerate(reqs):
+            idx = sel[off]
+            save_image(idx, req.tokens)
+            stats[f"prompt_{idx}"] = {
+                "prompt": prompts[idx],
+                "step_compression": req.step_compression,
+                "latency": req.latency,
+                **({"error": req.error} if req.error else {}),
+            }
+    else:
+        for idx in range(args.start_idx, end):
+            prompt = prompts[idx]
+            toks, st = sess.generate(prompt, mode=mode, seed=args.seed + idx,
+                                     **gen_kw)
+            save_image(idx, toks)
+            stats[f"prompt_{idx}"] = {
+                "prompt": prompt,
+                "step_compression": st.step_compression,
+                "latency": st.latency,
+            }
+            print(f"[{idx}] steps={st.steps} compression={st.step_compression:.3f} "
+                  f"latency={st.latency:.2f}s")
 
     with open(os.path.join(
             args.output_dir,

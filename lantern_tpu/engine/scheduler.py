@@ -37,6 +37,9 @@ class Request:
     steps: int = 0
     accept_sum: int = 0
     latency: float = 0.0
+    error: Optional[str] = None    # failure capture: the request failed at
+    #   prefill; the batch keeps serving (vllm_inference_solver.py:312-325
+    #   records failures per request the same way)
     _t0: float = 0.0
 
     @property
@@ -65,6 +68,10 @@ class Scheduler:
     # ------------------------------------------------------------------
     def _prefill(self, req: Request):
         req._t0 = time.perf_counter()
+        if req.error is not None:
+            # pre-failed upstream (e.g. prompt/cond construction); re-raise
+            # so the run loops route it through the same failure capture
+            raise RuntimeError(req.error)
         return self.engine.prefill(
             req.cond, req.uncond, jax.random.key(req.seed),
             token_prompt=req.token_prompt, prefix_valid=req.prefix_valid,
@@ -86,11 +93,24 @@ class Scheduler:
         done: List[Request] = []
         while sched.num_active or sched.num_waiting:
             for slot, uid in sched.fill_slots():
-                pre = self._prefill(by_uid[uid])
+                req = by_uid[uid]
+                try:
+                    pre = self._prefill(req)
+                except Exception as e:  # noqa: BLE001 — keep the batch alive
+                    if req.error is None:
+                        req.error = f"{type(e).__name__}: {e}"
+                    req.latency = time.perf_counter() - req._t0
+                    sched.fail(uid)
+                    done.append(req)
+                    if progress:
+                        print(f"request {req.uid} FAILED: {req.error}")
+                    continue
                 if batch is None:
                     batch = eng.empty_batch(pre)
                 batch = eng.insert(batch, slot, pre)
                 slot_uid[slot] = uid
+            if batch is None:
+                continue   # every request so far failed at prefill
             batch = eng.step(batch)
             n_new, steps, acc = eng.slot_status(batch)
             # capture finished slots' tokens before the queue refills them
@@ -126,16 +146,33 @@ class Scheduler:
         done: List[Request] = []
         slots: List[Optional[Request]] = [None] * eng.num_slots
 
-        first = queue.popleft()
-        proto = self._prefill(first)
+        def next_prefilled():
+            """Pop requests until one prefills cleanly; failed ones are
+            recorded (error set) and the batch keeps serving."""
+            while queue:
+                req = queue.popleft()
+                try:
+                    return req, self._prefill(req)
+                except Exception as e:  # noqa: BLE001
+                    if req.error is None:
+                        req.error = f"{type(e).__name__}: {e}"
+                    req.latency = time.perf_counter() - req._t0
+                    done.append(req)
+                    if progress:
+                        print(f"request {req.uid} FAILED: {req.error}")
+            return None, None
+
+        first, proto = next_prefilled()
+        if first is None:
+            return done    # every request failed at prefill
         batch = eng.empty_batch(proto)
         batch = eng.insert(batch, 0, proto)
         slots[0] = first
         for s in range(1, eng.num_slots):
-            if not queue:
+            req, pre = next_prefilled()
+            if req is None:
                 break
-            req = queue.popleft()
-            batch = eng.insert(batch, s, self._prefill(req))
+            batch = eng.insert(batch, s, pre)
             slots[s] = req
 
         while any(r is not None for r in slots):
@@ -153,9 +190,9 @@ class Scheduler:
                     if progress:
                         print(f"request {req.uid}: steps={req.steps} "
                               f"compression={req.step_compression:.3f}")
-                    if queue:
-                        nxt = queue.popleft()
-                        batch = eng.insert(batch, s, self._prefill(nxt))
+                    nxt, pre = next_prefilled()
+                    if nxt is not None:
+                        batch = eng.insert(batch, s, pre)
                         slots[s] = nxt
                     else:
                         slots[s] = None

@@ -187,6 +187,64 @@ class LlamaGenSession:
         sc = float(res.accept_sum) / max(1.0, float(res.steps))
         return toks, GenStats(sc, dt, int(res.steps), max_new)
 
+    def generate_batch(
+        self,
+        prompts,
+        slots: int = 8,
+        max_new: Optional[int] = None,
+        temperature: float = 1.0,
+        top_k: int = 2000,
+        top_p: float = 1.0,
+        drafter_top_k: Optional[int] = None,
+        cfg_scale: float = 7.5,
+        mode: str = "static",
+        tree: str = "naive_extend_57",
+        lantern_k: int = 0,
+        lantern_delta: float = 0.0,
+        seed: int = 0,
+        kv_quant: bool = False,
+        warp_order: str = "hf",
+        progress: bool = False,
+    ):
+        """Continuous-batching generation over many prompts: ``slots``
+        concurrent requests share every weight stream (the serving-engine
+        multiplier the reference gets from vLLM,
+        vllm_inference_solver.py:243-343).  Returns the scheduler's Request
+        list (tokens / steps / accept_sum / latency / error per prompt, in
+        input order); failed requests carry ``error`` and the batch keeps
+        serving."""
+        from .batch import BatchedEngine
+        from .scheduler import Request, Scheduler
+
+        if self.dparams is None:
+            raise ValueError("batched serving needs a drafter (model_type "
+                             "eagle); use generate(mode='ar') per prompt")
+        cfg = self.cfg
+        max_new = max_new or cfg.block_size
+        warp = LogitsWarp(temperature=temperature, top_k=top_k, top_p=top_p,
+                          warp_order=warp_order)
+        dwarp = (None if drafter_top_k is None else
+                 dataclasses.replace(warp, top_k=drafter_top_k))
+        ecfg = spec.SpecDecodeConfig(
+            warp=warp, cfg_scale=cfg_scale,
+            lantern=LanternSpec(k=lantern_k, delta=lantern_delta),
+            max_new=max_new, mode=mode, kv_quant=kv_quant,
+            drafter_warp=dwarp,
+        )
+        tspec = trees.get_tree(tree) if mode == "static" else None
+        engine = BatchedEngine(ecfg, cfg, self.dcfg, tspec, self.params,
+                               self.dparams, num_slots=min(slots, len(prompts)))
+        reqs = []
+        for i, p in enumerate(prompts):
+            try:
+                cond, uncond, pv = self._cond_pair(p)
+                reqs.append(Request(uid=i, cond=cond, uncond=uncond,
+                                    prefix_valid=pv, seed=seed + i))
+            except Exception as e:  # noqa: BLE001 — bad prompt, keep serving
+                reqs.append(Request(uid=i, seed=seed + i,
+                                    error=f"{type(e).__name__}: {e}"))
+        return Scheduler(engine).run(reqs, progress=progress)
+
     def decode_ids(self, tokens: np.ndarray) -> np.ndarray:
         """VQ codes [T] or [B, T] -> uint8 image array [B, H, W, 3]."""
         if self.vq_params is None:
@@ -282,6 +340,80 @@ class ChameleonSession:
         """Generated stream -> (text token spans, decoded uint8 images)
         (reference inference_solver.py:474-499)."""
         return self.item_processor.decode_ids(list(np.asarray(tokens)))
+
+    def generate_batch(
+        self,
+        prompts,
+        slots: int = 8,
+        max_new: Optional[int] = None,
+        temperature: float = 1.0,
+        top_k: int = 2000,
+        top_p: float = 1.0,
+        drafter_top_k: Optional[int] = None,
+        cfg_scale: float = 3.0,
+        mode: str = "static",
+        tree: str = "mc_sim_7b_63",
+        lantern_k: int = 0,
+        lantern_delta: float = 0.0,
+        seed: int = 0,
+        kv_quant: bool = False,
+        warp_order: str = "hf",
+        progress: bool = False,
+    ):
+        """Continuous-batching generation over token/text prompts (the
+        reference's vLLM data-gen role, vllm_inference_solver.py:243-343).
+        Lumina's grid FSM indexes absolute cond positions, so all prompts in
+        one batch must share a token length there (prompt padding or
+        bucketing upstream); Anole prompts may differ (each distinct length
+        compiles one extra prefill).  Returns scheduler Requests in input
+        order; failures carry ``error`` and the batch keeps serving."""
+        from ..models import chameleon as cham
+        from .batch import BatchedEngine
+        from .scheduler import Request, Scheduler
+
+        if self.dparams is None:
+            raise ValueError("batched serving needs a drafter")
+        cfg = self.cfg
+        h, w = self.grid
+        if max_new is None:
+            max_new = h * w if self.family == "anole" else h * (w + 1) + 1
+        warp = LogitsWarp(temperature=temperature, top_k=top_k, top_p=top_p,
+                          warp_order=warp_order)
+        dwarp = (None if drafter_top_k is None else
+                 dataclasses.replace(warp, top_k=drafter_top_k))
+        reqs = []
+        lens = set()
+        for i, p in enumerate(prompts):
+            try:
+                tp = self._prompt(p)
+                lens.add(int(tp.tokens.shape[1]))
+                reqs.append(Request(uid=i, token_prompt=tp, seed=seed + i))
+            except Exception as e:  # noqa: BLE001
+                reqs.append(Request(uid=i, seed=seed + i,
+                                    error=f"{type(e).__name__}: {e}"))
+        mask = jnp.asarray(cham.non_image_token_mask(cfg.vocab_size))
+        logits_fn = None
+        if self.family == "lumina" and lens:
+            if len(lens) > 1:
+                raise ValueError(
+                    f"lumina batches need equal prompt lengths (got {sorted(lens)});"
+                    " pad or bucket the prompts")
+            logits_fn = cham.LuminaGridFSM(
+                w=w, h=h, image_start_idx=max(lens) - 3,
+                vocab_size=cfg.vocab_size, **(self.fsm_overrides or {}),
+            )
+            mask = None
+        ecfg = spec.SpecDecodeConfig(
+            warp=warp, cfg_scale=cfg_scale,
+            lantern=LanternSpec(k=lantern_k, delta=lantern_delta),
+            max_new=max_new, mode=mode, kv_quant=kv_quant,
+            drafter_warp=dwarp,
+        )
+        tspec = trees.get_tree(tree) if mode == "static" else None
+        engine = BatchedEngine(ecfg, cfg, self.dcfg, tspec, self.params,
+                               self.dparams, num_slots=min(slots, len(prompts)),
+                               logits_mask=mask, logits_fn=logits_fn)
+        return Scheduler(engine).run(reqs, progress=progress)
 
     @classmethod
     def random(cls, cfg: ModelConfig, dcfg: Optional[DrafterConfig] = None,

@@ -79,6 +79,10 @@ def _bind(lib):
         ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint64),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.lantern_sched_fail.restype = ctypes.c_int32
+    lib.lantern_sched_fail.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.lantern_sched_num_failed.restype = ctypes.c_int32
+    lib.lantern_sched_num_failed.argtypes = [ctypes.c_void_p]
     lib.lantern_sched_num_waiting.restype = ctypes.c_int32
     lib.lantern_sched_num_waiting.argtypes = [ctypes.c_void_p]
     lib.lantern_sched_num_active.restype = ctypes.c_int32
@@ -134,6 +138,14 @@ class NativeScheduler:
         acc = (ctypes.c_int32 * cap)()
         k = self._lib.lantern_sched_drain(self._h, cap, uids, steps, acc)
         return [(uids[i], steps[i], acc[i]) for i in range(k)]
+
+    def fail(self, uid: int) -> bool:
+        """Drop a live request whose prefill failed; frees its slot."""
+        return bool(self._lib.lantern_sched_fail(self._h, uid))
+
+    @property
+    def num_failed(self) -> int:
+        return self._lib.lantern_sched_num_failed(self._h)
 
     @property
     def num_waiting(self) -> int:

@@ -48,6 +48,7 @@ struct Scheduler {
   uint64_t total_completed = 0;
   uint64_t total_tokens = 0;
   uint64_t total_steps = 0;
+  uint64_t total_failed = 0;
 };
 
 }  // namespace
@@ -153,6 +154,30 @@ int32_t lantern_sched_drain(void* h, int32_t cap, uint64_t* out_uids,
     s->reqs.erase(uid);
   }
   return n;
+}
+
+// Mark a request failed (e.g. its prefill raised): free its slot (or drop
+// it from the waiting queue), erase it, and count it.  The batch keeps
+// serving — failure capture lives here so a bad request can never wedge a
+// slot.  Returns 1 if the uid was live, 0 otherwise.
+int32_t lantern_sched_fail(void* h, uint64_t uid) {
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> lock(s->mu);
+  auto it = s->reqs.find(uid);
+  if (it == s->reqs.end()) return 0;
+  for (auto& v : s->slots)
+    if (v == static_cast<int64_t>(uid)) v = -1;
+  for (auto q = s->queue.begin(); q != s->queue.end(); ++q)
+    if (*q == uid) { s->queue.erase(q); break; }
+  s->reqs.erase(it);
+  s->total_failed++;
+  return 1;
+}
+
+int32_t lantern_sched_num_failed(void* h) {
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> lock(s->mu);
+  return static_cast<int32_t>(s->total_failed);
 }
 
 int32_t lantern_sched_num_waiting(void* h) {

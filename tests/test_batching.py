@@ -330,3 +330,50 @@ def test_scheduler_empty_and_native_guards(setup):
         ns.enqueue(7, prompt_len=0, max_new=4)      # duplicate: dropped
         ns.enqueue(2 ** 63 + 1, prompt_len=0, max_new=4)  # unrepresentable
         assert ns.num_waiting == 1
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_failure_capture_keeps_serving(setup, use_native):
+    """A request whose prefill raises is recorded (error set) and the rest
+    of the batch completes normally — the serving loop never dies
+    (reference role: vllm_inference_solver.py:312-325 failure records)."""
+    from lantern_tpu import native
+
+    if use_native and not native.available():
+        pytest.skip("native scheduler not built")
+    cfg, dcfg, params, dparams, ecfg, tree = setup
+    eng = BatchedEngine(
+        ecfg=ecfg, cfg=cfg, dcfg=dcfg, tree=tree,
+        params=params, dparams=dparams, num_slots=2,
+    )
+    good = [1, 4, 7]
+    reqs = []
+    for i, lab in enumerate(good):
+        reqs.append(Request(uid=lab, cond=jnp.asarray([lab]),
+                            uncond=jnp.asarray([cfg.num_classes]), seed=i))
+    # bad cond shape -> prefill raises inside the scheduler
+    reqs.insert(1, Request(uid="bad", cond=jnp.zeros((3, 5)),
+                           uncond=jnp.asarray([cfg.num_classes]), seed=9))
+    # pre-failed upstream (e.g. prompt/cond construction error)
+    reqs.insert(3, Request(uid="prefailed", error="ValueError: bad prompt"))
+
+    done = Scheduler(eng, use_native=use_native).run(reqs)
+    assert len(done) == 5
+    by_uid = {r.uid: r for r in done}
+    assert by_uid["bad"].error is not None and by_uid["bad"].tokens is None
+    assert by_uid["prefailed"].error == "ValueError: bad prompt"
+    for lab in good:
+        r = by_uid[lab]
+        assert r.error is None and r.tokens.shape == (MAX_NEW,)
+        assert r.steps >= 1
+    # input order preserved
+    assert [r.uid for r in done] == [1, "bad", 4, "prefailed", 7]
+
+
+def test_all_requests_fail(setup):
+    cfg, dcfg, params, dparams, ecfg, tree = setup
+    eng = BatchedEngine(ecfg=ecfg, cfg=cfg, dcfg=dcfg, tree=tree,
+                        params=params, dparams=dparams, num_slots=2)
+    reqs = [Request(uid=i, error=f"boom {i}") for i in range(3)]
+    done = Scheduler(eng, use_native=False).run(reqs)
+    assert len(done) == 3 and all(r.error for r in done)
