@@ -33,6 +33,10 @@ def add_args(p):
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top-k", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--slots", type=int, default=1,
+                   help="batched self-generation: R rollouts share every "
+                        "weight stream (ar.generate_many; the reference's "
+                        "vLLM data-gen role)")
 
 
 def run(args):
@@ -99,13 +103,39 @@ def run(args):
         # self-generate with the (vanilla AR) base model
         prompts = [p.strip() for p in args.prompts.split("|")]
         items = []
-        for i in range(args.num_samples):
-            prompt = prompts[i % len(prompts)]
-            toks, _ = sess.generate(
-                prompt, mode="ar", temperature=args.temperature,
-                top_k=args.top_k, cfg_scale=args.cfg, seed=args.seed + i,
-            )
-            items.append((toks, prompt))
+        slots = max(1, getattr(args, "slots", 1))
+        if slots > 1:
+            # batched rollouts: R requests per dispatch share the weight
+            # streams (ar.generate_many)
+            from lantern_tpu.engine import ar
+            from lantern_tpu.ops.sampling import LogitsWarp
+
+            warp = LogitsWarp(temperature=args.temperature, top_k=args.top_k,
+                              top_p=1.0)
+            for lo in range(0, args.num_samples, slots):
+                idxs = list(range(lo, min(lo + slots, args.num_samples)))
+                conds, pvs, uncond = [], [], None
+                for i in idxs:
+                    c, uncond, pv = sess._cond_pair(prompts[i % len(prompts)])
+                    conds.append(c)
+                    pvs.append(pv)
+                conds = jnp.stack(conds)
+                pv_b = None if pvs[0] is None else jnp.stack(pvs)
+                rngs = jax.vmap(jax.random.key)(
+                    jnp.asarray([args.seed + i for i in idxs], jnp.uint32))
+                toks_b = np.asarray(ar.generate_many(
+                    sess.params, cfg, conds, uncond, cfg.block_size,
+                    args.cfg, warp, rngs, prefix_valid=pv_b))
+                for row, i in enumerate(idxs):
+                    items.append((toks_b[row], prompts[i % len(prompts)]))
+        else:
+            for i in range(args.num_samples):
+                prompt = prompts[i % len(prompts)]
+                toks, _ = sess.generate(
+                    prompt, mode="ar", temperature=args.temperature,
+                    top_k=args.top_k, cfg_scale=args.cfg, seed=args.seed + i,
+                )
+                items.append((toks, prompt))
 
     n_img = cfg.block_size
     for i, (codes, meta) in enumerate(items):

@@ -67,6 +67,11 @@ class ModelConfig:
     # S=512); flash pays off once the cache is long enough that streaming
     # only the live prefix matters (Lumina's 2.4K-token images)
     flash_min_seq: int = 1024
+    # lax.scan unroll over the layer stack.  Decode-step forwards at small
+    # token counts are op-launch-latency-bound (36 sequential layers of
+    # ~15 small ops each); unrolling lets XLA pipeline next-layer weight
+    # DMAs with current-layer compute and amortize loop bookkeeping
+    scan_unroll: int = 1
 
     # budget
     max_seq_len: int = 2048

@@ -86,6 +86,34 @@ def generate(
     return ARResult(tokens=fin.out, kv=fin.kv)
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_new", "warp", "kv_quant"))
+def generate_many(
+    params: dict,
+    cfg: ModelConfig,
+    conds,                     # [R] label ids or [R, 1, Tc, Dc] caption feats
+    uncond,                    # single uncond row (broadcast across requests)
+    max_new: int,
+    cfg_scale: float,
+    warp: LogitsWarp,
+    rngs: jax.Array,           # [R] PRNG keys
+    prefix_valid: Optional[jnp.ndarray] = None,   # [R, 2, S] or None
+    kv_quant: bool = False,
+) -> jnp.ndarray:
+    """Batched vanilla-AR generation: R requests share every weight stream.
+
+    Image generation is fixed-length, so plain vmap (lockstep, no slot
+    swapping) IS continuous batching here — this is the TPU answer to the
+    reference's vLLM AR batching for data generation
+    (vllm_inference_solver.py:243-343).  Returns tokens [R, max_new].
+    """
+    def one(cond, rng, pv):
+        return generate(params, cfg, cond, uncond, max_new, cfg_scale, warp,
+                        rng, prefix_valid=pv, kv_quant=kv_quant).tokens
+
+    in_pv = None if prefix_valid is None else 0
+    return jax.vmap(one, in_axes=(0, 0, in_pv))(conds, rngs, prefix_valid)
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_new", "warp",
                                    "logits_fn", "kv_quant"))
 def generate_tokens(

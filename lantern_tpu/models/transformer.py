@@ -399,6 +399,7 @@ def forward(
     hidden, (k_new, v_new) = jax.lax.scan(
         layer, embeds,
         (jnp.arange(cfg.num_layers), lp, kv.k, kv.v, kv.k_scale, kv.v_scale),
+        unroll=min(cfg.scan_unroll, cfg.num_layers),
     )
     if cfg.final_norm:
         hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)

@@ -136,7 +136,11 @@ def main():
 
     cfg_flash = dataclasses.replace(cfg, flash_min_seq=0)
     cfg_dense = dataclasses.replace(cfg, use_flash_attention=False)
-    timed("vmapped tree fwd FLASH", make_tree_loop(cfg_flash), params, base_kv)
+    # PROF_FLASH=0 skips the vmapped flash variant: its remote Mosaic
+    # compile has been observed to take 20+ min over the tunnel, and the
+    # bench geometry (S=512 < flash_min_seq) runs dense anyway
+    if os.environ.get("PROF_FLASH", "1") == "1":
+        timed("vmapped tree fwd FLASH", make_tree_loop(cfg_flash), params, base_kv)
     timed("vmapped tree fwd DENSE", make_tree_loop(cfg_dense), params, base_kv)
 
     # B. vmapped accept_path
