@@ -73,20 +73,32 @@ class BatchedEngine:
                 f = spec_engine.make_dynamic_step(ecfg, cfg, dcfg, ctx)
             active = state.n_new < ecfg.max_new
             new_state = f(state)
+
             # Freeze finished slots — but ONLY the cheap leaves.  A tree-wide
             # select would copy the multi-GB KV buffers every step; instead the
             # KV *lengths* freeze (so a finished slot's committed prefix is
             # never touched: steps only write provisional rows at/past length,
             # which attention masks out) while the buffers themselves stay
             # donated scribble space until the scheduler drains the slot.
-            frozen = jax.tree.map(
-                lambda a, b: jnp.where(active, b, a), state, new_state
-            )
-            return frozen._replace(
+            # The selects are built leaf-by-leaf so the giant-buffer selects
+            # never exist in the graph (not even as DCE fodder).
+            def sel(a, b):
+                return jnp.where(active, b, a)
+
+            return new_state._replace(
+                draft=jax.tree.map(sel, state.draft, new_state.draft),
+                root_token=sel(state.root_token, new_state.root_token),
+                tokens=sel(state.tokens, new_state.tokens),
+                n_new=sel(state.n_new, new_state.n_new),
+                steps=sel(state.steps, new_state.steps),
+                accept_sum=sel(state.accept_sum, new_state.accept_sum),
+                rng=sel(state.rng, new_state.rng),
                 base_kv=dataclasses.replace(
-                    new_state.base_kv, length=frozen.base_kv.length),
+                    new_state.base_kv,
+                    length=sel(state.base_kv.length, new_state.base_kv.length)),
                 draft_kv=dataclasses.replace(
-                    new_state.draft_kv, length=frozen.draft_kv.length),
+                    new_state.draft_kv,
+                    length=sel(state.draft_kv.length, new_state.draft_kv.length)),
             )
 
         # donate the batch state: KV buffers update in place instead of

@@ -303,8 +303,20 @@ def forward(
     lp = params["layers"]
 
     def layer(h, xs):
-        # k_cache/v_cache: [B, G, S, W] grouped; scales [B, G, S] or None
-        idx, w, k_cache, v_cache, k_sc, v_sc = xs
+        # k_cache/v_cache: [B, G, S, W] grouped; scales [B, G, S] or None.
+        # The cache is INDEXED per layer rather than passed as scan xs:
+        # scan xs must be layer-leading, and under vmap (batched serving)
+        # that forces a full-buffer [R, L, ...] -> [L, R, ...] transpose of
+        # the multi-GB stacked cache every step.  dynamic_index_in_dim on
+        # the captured buffer batches to a per-layer slice with no
+        # transpose (verified in the lowered HLO of the batched step).
+        idx, w = xs
+        k_cache = jax.lax.dynamic_index_in_dim(kv.k, idx, 0, keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(kv.v, idx, 0, keepdims=False)
+        k_sc = (None if kv.k_scale is None else
+                jax.lax.dynamic_index_in_dim(kv.k_scale, idx, 0, keepdims=False))
+        v_sc = (None if kv.v_scale is None else
+                jax.lax.dynamic_index_in_dim(kv.v_scale, idx, 0, keepdims=False))
         # swin (post-norm) ordering: h += norm(attn(h)); h += norm(mlp(h))
         # (modeling_anole_kv.py:787-806); default is pre-norm LLaMA ordering.
         if cfg.swin_norm:
@@ -349,20 +361,49 @@ def forward(
                 q, k_use, v_use, k_cache, v_cache, kv.length, bm_raw, p_bias,
                 scale, k_scale=k_sc, v_scale=v_sc,
             ).astype(h.dtype)
+        elif nkv == nh:
+            # dense attention IN the grouped storage layout: the cache slice
+            # is only reshape-viewed ([B,G,S,W] -> [B,G,S,pk,hd], minor-dim
+            # split), never transposed — ungroup_cache's per-layer transpose
+            # copied the whole live cache every layer (the dominant per-step
+            # HBM cost for batched serving and ~0.5 ms/step single-request)
+            if kv_quant:
+                k_cache = dequant_cache(k_cache, k_sc, dtype=h.dtype)
+                v_cache = dequant_cache(v_cache, v_sc, dtype=h.dtype)
+            Gd, W = k_cache.shape[-3], k_cache.shape[-1]
+            pk = W // hd
+            k5 = k_cache.reshape(B, Gd, S, pk, hd)
+            v5 = v_cache.reshape(B, Gd, S, pk, hd)
+            # q and the in-flight rows are T-sized (small): transposing them
+            # into [B, G, pk, T, hd] is cheap
+            qg = q.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
+            ku = k_use.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
+            vu = v_use.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
+            s_pre = jnp.einsum(
+                "bgptd,bgspd->bgpts", qg, k5,
+                preferred_element_type=jnp.float32,
+            ) * scale + mask_prefix[:, None]
+            s_blk = jnp.einsum(
+                "bgptd,bgpud->bgptu", qg, ku,
+                preferred_element_type=jnp.float32,
+            ) * scale + mask_block[:, None]
+            s = jnp.concatenate([s_pre, s_blk], axis=-1)
+            p = jax.nn.softmax(s, axis=-1)
+            p_pre, p_blk = p[..., :S], p[..., S:]
+            o = jnp.einsum("bgpts,bgspd->bgptd", p_pre, v5.astype(jnp.float32))
+            o = o + jnp.einsum("bgptu,bgpud->bgptd", p_blk, vu.astype(jnp.float32))
+            o = o.transpose(0, 3, 1, 2, 4).reshape(B, T, nh, hd).astype(h.dtype)
         else:
             if kv_quant:
                 k_cache = dequant_cache(k_cache, k_sc, dtype=h.dtype)
                 v_cache = dequant_cache(v_cache, v_sc, dtype=h.dtype)
             k_cache_u = ungroup_cache(k_cache, nkv, hd)   # [B, S, nkv, hd]
             v_cache_u = ungroup_cache(v_cache, nkv, hd)
-            if nkv != nh:
-                rep = nh // nkv
-                k_cache_h = jnp.repeat(k_cache_u, rep, axis=2)
-                v_cache_h = jnp.repeat(v_cache_u, rep, axis=2)
-                k_h = jnp.repeat(k_use, rep, axis=2)
-                v_h = jnp.repeat(v_use, rep, axis=2)
-            else:
-                k_cache_h, v_cache_h, k_h, v_h = k_cache_u, v_cache_u, k_use, v_use
+            rep = nh // nkv
+            k_cache_h = jnp.repeat(k_cache_u, rep, axis=2)
+            v_cache_h = jnp.repeat(v_cache_u, rep, axis=2)
+            k_h = jnp.repeat(k_use, rep, axis=2)
+            v_h = jnp.repeat(v_use, rep, axis=2)
 
             s_pre = jnp.einsum(
                 "btnh,bsnh->bnts", q, k_cache_h, preferred_element_type=jnp.float32
@@ -398,7 +439,7 @@ def forward(
 
     hidden, (k_new, v_new) = jax.lax.scan(
         layer, embeds,
-        (jnp.arange(cfg.num_layers), lp, kv.k, kv.v, kv.k_scale, kv.v_scale),
+        (jnp.arange(cfg.num_layers), lp),
         unroll=min(cfg.scan_unroll, cfg.num_layers),
     )
     if cfg.final_norm:
