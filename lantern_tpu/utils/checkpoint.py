@@ -270,3 +270,100 @@ def restore_pytree(path: str, like=None):
     if like is not None:
         return ckptr.restore(os.path.abspath(path), target=like)
     return ckptr.restore(os.path.abspath(path))
+
+
+def meta_chameleon_to_hf(shards, num_layers: int, n_heads: int, dim: int,
+                         n_kv_heads: int = None) -> Dict[str, np.ndarray]:
+    """Original-Meta Chameleon ``consolidated.*.pth`` shard dict(s) -> the
+    HF-layout state dict ``chameleon_params_from_torch`` consumes.
+
+    Faithful to the reference converter
+    (models/base_models/lumina_mgpt/chameleon/
+    convert_chameleon_weights_to_hf.py:81-300): q/k get the sliced-rotary
+    permute (interleaved Meta RoPE -> HF half pairing, ibid:140-141), MLP
+    w1/w2/w3 map to gate/down/up, and multi-shard tensors concatenate on
+    the same axes — including the quirky MP-replicated QK-norm layout that
+    ``chameleon_params_from_torch`` already undoes.
+    """
+    if isinstance(shards, dict):
+        shards = [shards]
+    ns = len(shards)
+    n_kv = n_kv_heads or n_heads
+    hd = dim // n_heads
+
+    def permute(w, heads, dim1=dim, dim2=dim):
+        w = np.asarray(w).reshape(heads, dim1 // heads // 2, 2, dim2)
+        return w.transpose(0, 2, 1, 3).reshape(dim1, dim2)
+
+    def cat(key, axis):
+        return np.concatenate([np.asarray(s[key]) for s in shards], axis=axis)
+
+    out: Dict[str, np.ndarray] = {}
+    for li in range(num_layers):
+        P = f"layers.{li}."
+        O = f"model.layers.{li}."
+        wq = cat(P + "attention.wq.weight", 0)
+        wk = cat(P + "attention.wk.weight", 0)
+        out[O + "self_attn.q_proj.weight"] = permute(wq, n_heads)
+        out[O + "self_attn.k_proj.weight"] = permute(
+            wk, n_kv, dim1=hd * n_kv)
+        out[O + "self_attn.v_proj.weight"] = cat(P + "attention.wv.weight", 0)
+        out[O + "self_attn.o_proj.weight"] = cat(P + "attention.wo.weight", 1)
+        # QK-norm: per-shard [hd] params concatenate into the MP-replicated
+        # layout (converter:233-256); single-shard passes through
+        for norm, hf in (("q_normalization", "q_norm"),
+                         ("k_normalization", "k_norm")):
+            for part in ("weight", "bias"):
+                key = P + f"attention.{norm}.{part}"
+                if key in shards[0]:
+                    out[O + f"self_attn.{hf}.{part}"] = cat(key, 0)
+        out[O + "mlp.gate_proj.weight"] = cat(P + "feed_forward.w1.weight", 0)
+        out[O + "mlp.down_proj.weight"] = cat(P + "feed_forward.w2.weight", 1)
+        out[O + "mlp.up_proj.weight"] = cat(P + "feed_forward.w3.weight", 0)
+        if ns == 1:
+            out[O + "input_layernorm.weight"] = np.asarray(
+                shards[0][P + "attention_norm.weight"])
+            out[O + "post_attention_layernorm.weight"] = np.asarray(
+                shards[0][P + "ffn_norm.weight"])
+        else:
+            # converter:200-205 STACKS the replicated norms; rank 0 is
+            # canonical downstream
+            out[O + "input_layernorm.weight"] = np.stack(
+                [np.asarray(s[P + "attention_norm.weight"]) for s in shards])
+            out[O + "post_attention_layernorm.weight"] = np.stack(
+                [np.asarray(s[P + "ffn_norm.weight"]) for s in shards])
+    out["model.embed_tokens.weight"] = cat("tok_embeddings.weight", 1 if ns > 1 else 0)
+    if ns == 1:
+        out["model.norm.weight"] = np.asarray(shards[0]["norm.weight"])
+    else:
+        out["model.norm.weight"] = np.stack(
+            [np.asarray(s["norm.weight"]) for s in shards]).mean(axis=0)
+    out["lm_head.weight"] = cat("output.weight", 0)
+    return out
+
+
+def load_meta_chameleon_dir(path: str):
+    """Load an original-Meta Chameleon checkpoint directory
+    (``consolidated.NN.pth`` shards + ``params.json``) and return
+    ``(hf_state_dict, params_json)``."""
+    import glob as _glob
+    import json as _json
+
+    import torch
+
+    with open(os.path.join(path, "params.json")) as f:
+        pj = _json.load(f)
+    files = sorted(_glob.glob(os.path.join(path, "consolidated.*.pth")))
+    if not files:
+        raise FileNotFoundError(f"no consolidated.*.pth under {path}")
+    shards = [
+        {k: np.asarray(v) for k, v in
+         torch.load(f, map_location="cpu", weights_only=True).items()}
+        for f in files
+    ]
+    model = pj.get("model", pj)
+    dim = model["dim"]
+    sd = meta_chameleon_to_hf(
+        shards, num_layers=model["n_layers"], n_heads=model["n_heads"],
+        dim=dim, n_kv_heads=model.get("n_kv_heads"))
+    return sd, pj
