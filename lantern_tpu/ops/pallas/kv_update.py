@@ -60,6 +60,15 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
+def _vmem_itemsize(dtype) -> int:
+    """Effective per-element VMEM staging cost.  int8 windows are tiled
+    (32, 128) with (4, 1) packing and Mosaic's fused temporaries upcast;
+    measured scoped-vmem for int8 blocks runs ~2x the raw byte count
+    (19.3M observed where the 1-byte model said 9.9M), so budget int8 as
+    2 bytes/element."""
+    return max(jnp.dtype(dtype).itemsize, 2)
+
+
 def align_rows(dtype) -> int:
     """Sublane tile rows for a dtype: f32 (8, 128), bf16 (16, 128),
     int8/fp8 (32, 128).  The kernel's aligned-window start must be a
@@ -76,7 +85,7 @@ def supports(buf_shape, new_shape, dtype=jnp.bfloat16) -> bool:
     # even the minimal Lb=1, bb=1 blocking must fit the scratch budget
     # (n_scratch=6 window-equivalents), or _block_layers would still launch a
     # kernel that fails at Mosaic compile time instead of falling back
-    fits = 6 * G * (Tp + ALIGN) * W * jnp.dtype(dtype).itemsize <= _VMEM_BUDGET
+    fits = 6 * G * (Tp + ALIGN) * W * _vmem_itemsize(dtype) <= _VMEM_BUDGET
     return W % 128 == 0 and S % ALIGN == 0 and S >= Tp + ALIGN and fits
 
 
@@ -187,7 +196,7 @@ def write_block(
         k_new = jnp.pad(k_new, pad)
         v_new = jnp.pad(v_new, pad)
     Tw = Tp + ALIGN
-    itemsize = jnp.dtype(k_buf.dtype).itemsize
+    itemsize = _vmem_itemsize(k_buf.dtype)
     # 4 staging windows + 2 window-equivalents for the f32 roll temporaries
     Lb, bb = _block_layers(L, L // R, B, G, Tw, W, itemsize, n_scratch=6)
     kern = _make_kernel(B, G, S, W, Tp, T, bb, Lb, L // R, ALIGN)
@@ -241,7 +250,7 @@ def gather_supports(buf_shape, blk: int, dtype=jnp.bfloat16) -> bool:
     Tp = -(-blk // ALIGN) * ALIGN
     # minimal Lb=1, bb=1 blocking must fit the scratch budget (n_scratch=9:
     # two staging windows + staged matmul operand/result headroom)
-    fits = 9 * G * (Tp + ALIGN) * W * jnp.dtype(dtype).itemsize <= _VMEM_BUDGET
+    fits = 9 * G * (Tp + ALIGN) * W * _vmem_itemsize(dtype) <= _VMEM_BUDGET
     return W % 128 == 0 and S % ALIGN == 0 and S >= Tp + ALIGN and fits
 
 
@@ -337,7 +346,7 @@ def gather_write_block(
         raise ValueError(f"gather_write_block: {A} rows > blk={blk}")
     Tp = -(-blk // ALIGN) * ALIGN
     Tw = Tp + ALIGN
-    itemsize = jnp.dtype(k_buf.dtype).itemsize
+    itemsize = _vmem_itemsize(k_buf.dtype)
     # n_scratch=9: two real scratch windows + the permutation matmul's
     # staged operand/result copies (measured: Mosaic keeps ~4.3 window-
     # equivalents per plane alive at bf16; 17.25M scoped-vmem at Lb=4)
