@@ -85,7 +85,26 @@ def load_prompts(args):
 
 def build_session(args):
     from lantern_tpu import configs
-    from lantern_tpu.engine.session import LlamaGenSession
+    from lantern_tpu.engine.session import ChameleonSession, LlamaGenSession
+
+    use_drafter = args.model_type == "eagle"
+    if args.model in ("anole", "lumina_mgpt"):
+        family = "anole" if args.model == "anole" else "lumina"
+        grid = (32, 32) if family == "anole" else (48, 48)
+        cfg = configs.chameleon_7b_config(swin_norm=family == "lumina")
+        total = getattr(args, "total_tokens", 59)
+        dcfg = configs.drafter_config(cfg, total_tokens=max(total, 2),
+                                      depth=args.depth,
+                                      top_k=args.drafter_top_k)
+        if args.random_weights or args.base_path is None:
+            return ChameleonSession.random(
+                cfg, dcfg if use_drafter else None, family=family, grid=grid)
+        return ChameleonSession.from_pretrained(
+            args.base_path, cfg,
+            drafter_path=args.drafter_path if use_drafter else None,
+            dcfg=dcfg, vq_path=args.vq_path, nearest_path=args.nearest_path,
+            family=family, grid=grid,
+        )
 
     task = "c2i" if args.labels is not None else "t2i"
     image_tokens = 1024 if args.model == "llamagen2" else 256
@@ -95,7 +114,6 @@ def build_session(args):
                                   depth=args.depth, top_k=args.drafter_top_k)
 
     if args.random_weights or args.base_path is None:
-        use_drafter = args.model_type == "eagle"
         sess = LlamaGenSession.random(cfg, dcfg if use_drafter else None)
         if args.lantern:
             import jax.numpy as jnp
@@ -146,13 +164,19 @@ def run(args):
     )
 
     def save_image(idx, toks):
-        if sess.vq_params is not None and toks is not None:
+        if sess.vq_params is None or toks is None:
+            return
+        if args.model in ("anole", "lumina_mgpt"):
+            img = sess.decode_generated(toks)
+        else:
             img = sess.decode_ids(toks)[0]
-            Image.fromarray(img).save(
-                os.path.join(args.output_dir, f"prompt_{idx}.png"))
+        Image.fromarray(img).save(
+            os.path.join(args.output_dir, f"prompt_{idx}.png"))
+
+    from lantern_tpu.engine.session import LlamaGenSession
 
     slots = getattr(args, "slots", 1)
-    if slots > 1 and mode != "ar":
+    if slots > 1 and (mode != "ar" or isinstance(sess, LlamaGenSession)):
         # continuous batching: R requests share every weight stream
         # (reference role: vllm_inference_solver.py:243-343)
         sel = list(range(args.start_idx, end))

@@ -212,17 +212,28 @@ class LlamaGenSession:
         vllm_inference_solver.py:243-343).  Returns the scheduler's Request
         list (tokens / steps / accept_sum / latency / error per prompt, in
         input order); failed requests carry ``error`` and the batch keeps
-        serving."""
+        serving.
+
+        ``mode="ar"`` runs lockstep-vmapped vanilla AR (``ar.generate_many``)
+        — image generation is fixed-length, so that IS continuous batching.
+        ``tree="auto"`` picks the draft shape by slot count: speculation's
+        per-token FLOP multiplier turns against it as the batch grows
+        (measured crossover on v5e at XL geometry, PERF.md), so large
+        batches get small chain-heavy trees."""
         from .batch import BatchedEngine
         from .scheduler import Request, Scheduler
 
-        if self.dparams is None:
-            raise ValueError("batched serving needs a drafter (model_type "
-                             "eagle); use generate(mode='ar') per prompt")
         cfg = self.cfg
         max_new = max_new or cfg.block_size
         warp = LogitsWarp(temperature=temperature, top_k=top_k, top_p=top_p,
                           warp_order=warp_order)
+        if mode == "ar" or self.dparams is None:
+            return self._generate_batch_ar(prompts, slots, max_new, cfg_scale,
+                                           warp, seed, kv_quant)
+        if tree == "auto":
+            tree = ("naive_extend_57" if slots < 4 else
+                    [[0], [1], [0, 0], [0, 1], [0, 0, 0], [0, 0, 1],
+                     [0, 0, 0, 0], [0, 0, 0, 0, 0]])
         dwarp = (None if drafter_top_k is None else
                  dataclasses.replace(warp, top_k=drafter_top_k))
         ecfg = spec.SpecDecodeConfig(
@@ -244,6 +255,44 @@ class LlamaGenSession:
                 reqs.append(Request(uid=i, seed=seed + i,
                                     error=f"{type(e).__name__}: {e}"))
         return Scheduler(engine).run(reqs, progress=progress)
+
+    def _generate_batch_ar(self, prompts, slots, max_new, cfg_scale, warp,
+                           seed, kv_quant):
+        """Lockstep batched AR over prompt chunks (ar.generate_many)."""
+        import time as _time
+
+        from . import ar as _ar
+        from .scheduler import Request
+
+        out = []
+        for lo in range(0, len(prompts), max(1, slots)):
+            chunk = list(range(lo, min(lo + slots, len(prompts))))
+            good, conds, pvs, uncond = [], [], [], None
+            for i in chunk:
+                try:
+                    c, uncond, pv = self._cond_pair(prompts[i])
+                    good.append(i)
+                    conds.append(c)
+                    pvs.append(pv)
+                except Exception as e:  # noqa: BLE001
+                    out.append(Request(uid=i, seed=seed + i,
+                                       error=f"{type(e).__name__}: {e}"))
+            if not good:
+                continue
+            t0 = _time.perf_counter()
+            rngs = jax.vmap(jax.random.key)(
+                jnp.asarray([seed + i for i in good], jnp.uint32))
+            pv_b = None if pvs[0] is None else jnp.stack(pvs)
+            toks = np.asarray(_ar.generate_many(
+                self.params, self.cfg, jnp.stack(conds), uncond, max_new,
+                cfg_scale, warp, rngs, prefix_valid=pv_b, kv_quant=kv_quant))
+            dt = _time.perf_counter() - t0
+            for row, i in enumerate(good):
+                out.append(Request(uid=i, seed=seed + i, tokens=toks[row],
+                                   steps=max_new, accept_sum=max_new,
+                                   latency=dt))
+        out.sort(key=lambda r: r.uid)
+        return out
 
     def decode_ids(self, tokens: np.ndarray) -> np.ndarray:
         """VQ codes [T] or [B, T] -> uint8 image array [B, H, W, 3]."""
@@ -341,6 +390,26 @@ class ChameleonSession:
         (reference inference_solver.py:474-499)."""
         return self.item_processor.decode_ids(list(np.asarray(tokens)))
 
+    def decode_generated(self, tokens) -> np.ndarray:
+        """Raw ``generate()`` output (no image start/end wrappers) -> one
+        uint8 image.  Anole emits exactly h*w image BPE ids; Lumina emits
+        grid rows with per-row newline tokens and a trailing image-end."""
+        from ..models import chameleon as cham
+
+        if self.vq_params is None:
+            raise ValueError("session has no VQ codec loaded")
+        h, w = self.grid
+        toks = np.asarray(tokens).reshape(-1)
+        if self.family == "lumina":
+            body = toks[: h * (w + 1)].reshape(h, w + 1)[:, :w]
+        else:
+            body = toks[: h * w].reshape(h, w)
+        codes = cham.bpe_to_img(body)
+        px = vqgan.decode_code(self.vq_params, self.vq_cfg,
+                               jnp.asarray(codes.reshape(1, -1)), grid=(h, w))
+        arr = np.asarray(px)[0]
+        return np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+
     def generate_batch(
         self,
         prompts,
@@ -419,6 +488,8 @@ class ChameleonSession:
     def random(cls, cfg: ModelConfig, dcfg: Optional[DrafterConfig] = None,
                seed: int = 0, family: str = "anole", grid=(8, 8),
                aligned_drafter: bool = True) -> "ChameleonSession":
+        from ..models.item_processor import hash_tokenize
+
         params = tfm.init_params(jax.random.key(seed), cfg)
         dparams = None
         if dcfg is not None:
@@ -432,7 +503,7 @@ class ChameleonSession:
                 dparams["fc_w"] = jnp.asarray(fc, dtype=cfg.jnp_dtype)
                 dparams["layers"] = jax.tree.map(lambda a: a * 0, dparams["layers"])
         return cls(cfg=cfg, dcfg=dcfg, params=params, dparams=dparams,
-                   family=family, grid=grid)
+                   family=family, grid=grid, tokenizer=hash_tokenize)
 
     def _prompt(self, text_or_tokens):
         from ..models import chameleon as cham
