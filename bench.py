@@ -213,9 +213,7 @@ def main():
         if R > 1:
             from lantern_tpu.engine.batch import BatchedEngine
 
-            btree = trees.get_tree(
-                [[0], [1], [0, 0], [0, 1], [0, 0, 0], [0, 0, 1],
-                 [0, 0, 0, 0], [0, 0, 0, 0, 0]])
+            btree = trees.get_tree("chain_bush_8")
             ecfg_b = spec.SpecDecodeConfig(
                 warp=warp, cfg_scale=3.0, lantern=LanternSpec(k=LK, delta=LD),
                 max_new=IMAGE_TOKENS, mode="static", kv_quant=KVQ,
@@ -406,7 +404,10 @@ def lumina_main():
     fsm = cham.LuminaGridFSM(w=GRID, h=GRID, image_start_idx=len(TEXT),
                              vocab_size=cfg.vocab_size)
     KVQ = os.environ.get("BENCH_KV_LUMINA", "int8") == "int8"
-    tree = trees.get_tree("naive_extend_57")
+    # at 7B-class geometry the 57-node tree's MXU rows nearly double the
+    # step; small chain-heavy shapes win wall clock (PERF.md economics)
+    TREE = os.environ.get("BENCH_LUMINA_TREE", "chain_bush_8")
+    tree = trees.get_tree(TREE)
 
     def run_ar(seed):
         res = ar.generate_tokens(params, cfg, tp, MAX_NEW, 3.0, warp,
@@ -451,7 +452,7 @@ def lumina_main():
             "weights": "int8",
             "kv": "int8" if KVQ else "bf16",
             "flash": os.environ.get("BENCH_LUMINA_FLASH", "1") == "1",
-            "tree": "naive_extend_57",
+            "tree": TREE,
             "backend": jax.default_backend(),
         },
     }

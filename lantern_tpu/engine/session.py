@@ -231,9 +231,7 @@ class LlamaGenSession:
             return self._generate_batch_ar(prompts, slots, max_new, cfg_scale,
                                            warp, seed, kv_quant)
         if tree == "auto":
-            tree = ("naive_extend_57" if slots < 4 else
-                    [[0], [1], [0, 0], [0, 1], [0, 0, 0], [0, 0, 1],
-                     [0, 0, 0, 0], [0, 0, 0, 0, 0]])
+            tree = "naive_extend_57" if slots < 4 else "chain_bush_8"
         dwarp = (None if drafter_top_k is None else
                  dataclasses.replace(warp, top_k=drafter_top_k))
         ecfg = spec.SpecDecodeConfig(

@@ -98,6 +98,14 @@ reverse_balanced_25 = [
 
 chain = [[0], [0, 0], [0, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0, 0]]
 
+# First-party small shape for batched serving / big-model operating points:
+# the verification forward's MXU cost scales with node count, so once
+# weight streaming is amortized (many slots, or a 7B-class model whose
+# tree rows reach MXU-visible compute) small chain-heavy shapes win wall
+# clock despite lower compression (measured, PERF.md).
+chain_bush_8 = [[0], [1], [0, 0], [0, 1], [0, 0, 0], [0, 0, 1],
+                [0, 0, 0, 0], [0, 0, 0, 0, 0]]
+
 TREE_LIBRARY: Dict[str, List[List[int]]] = {
     "mc_sim_7b_63": mc_sim_7b_63,
     "mc_sim_7b_63_balanced": mc_sim_7b_63_balanced,
@@ -105,6 +113,7 @@ TREE_LIBRARY: Dict[str, List[List[int]]] = {
     "medusa_2_7b_63": medusa_2_7b_63,
     "reverse_balanced_25": reverse_balanced_25,
     "chain": chain,
+    "chain_bush_8": chain_bush_8,
 }
 
 
