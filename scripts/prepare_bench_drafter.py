@@ -85,20 +85,27 @@ def main():
     # NOTE: do not wrap in another jax.jit — ar.generate is already jitted,
     # and jit-of-jit wedges this environment's remote-compile path.
     def sample_tokens(cond, uncond, rng):
-        res = ar.generate(params, cfg, cond, uncond, T_img, 1.5, warp, rng)
+        # sample at the BENCH's cfg scale: the drafter must approximate the
+        # deployment distribution, and its logits are cfg-combined at
+        # inference (combined = 3*cond - 2*uncond), so both streams matter
+        res = ar.generate(params, cfg, cond, uncond, T_img, 3.0, warp, rng)
         return res.tokens
 
     # params MUST be an argument, not a closure capture: jit inlines captured
     # device arrays as MLIR constants, and lowering then fetches all 1.5 GB
     # of weights host-side through the tunnel (hangs for minutes).
     @jax.jit
-    def teacher(params, cond, tokens):
+    def teacher(params, cond_pair, tokens):
+        # batch-2 teacher: the engine feeds the drafter BOTH the cond and
+        # uncond hidden streams (then cfg-combines its head logits); train
+        # on both so neither row is out-of-distribution
         embeds = jnp.concatenate(
-            [tfm.cond_embed(params, cfg, cond),
-             tfm.token_embed(params, tokens)], axis=1,
+            [tfm.cond_embed(params, cfg, cond_pair),
+             tfm.token_embed(params, jnp.broadcast_to(tokens, (2,) + tokens.shape[1:]))],
+            axis=1,
         )
         T = embeds.shape[1]
-        kv = KVCache.create(cfg, 1, max_len=T)
+        kv = KVCache.create(cfg, 2, max_len=T)
         return tfm.forward(params, cfg, embeds, kv, jnp.arange(T), rope).hidden
 
     # hidden-state traces stay ON DEVICE (the host<->device tunnel in this
@@ -112,9 +119,13 @@ def main():
                                  (1, Tc, cfg.caption_dim))
         uncond = params["cond"]["uncond"][None].astype(cond.dtype)
         toks = sample_tokens(cond, uncond, jax.random.fold_in(key, 1))
-        hid_rows.append(teacher(params, cond, toks[None])[0])       # [Tc+T, H]
+        cond_pair = jnp.concatenate([cond, uncond], axis=0)
+        hid2 = teacher(params, cond_pair, toks[None])               # [2, Tc+T, H]
         dr_tokens = np.zeros((max_len,), np.int32)
         dr_tokens[Tc - 1: Tc - 1 + T_img] = np.asarray(toks)
+        hid_rows.append(hid2[0])        # cond stream
+        tok_rows.append(dr_tokens)
+        hid_rows.append(hid2[1])        # uncond stream (same tokens)
         tok_rows.append(dr_tokens)
         if i == 0 or (i + 1) % 32 == 0:
             note(f"traces {i + 1}/{args.samples}")
@@ -125,7 +136,8 @@ def main():
     loss_mask_row[Tc - 1: Tc - 2 + T_img] = 1.0
 
     # ---- phase 2: drafter training -----------------------------------------
-    steps_per_epoch = max(args.samples // args.bs, 1)
+    n_rows = 2 * args.samples            # cond + uncond stream per sample
+    steps_per_epoch = max(n_rows // args.bs, 1)
     tcfg = dt.TrainConfig(
         lr=args.lr, p_w=0.1, noise="uniform", noise_std=0.1,
         rollout_depth=args.rollout_depth,
@@ -136,7 +148,7 @@ def main():
     head = params["lm_head"]
     rng = np.random.default_rng(0)
     key = jax.random.key(7)
-    order = np.arange(args.samples)
+    order = np.arange(n_rows)
 
     @jax.jit
     def gather_batch(hid_all, idx):
