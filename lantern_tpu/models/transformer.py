@@ -24,6 +24,8 @@ torch checkpoints transpose once on the host.
 
 from __future__ import annotations
 
+import dataclasses
+
 from typing import NamedTuple, Optional
 
 import jax
@@ -302,17 +304,40 @@ def forward(
     scale = hd ** -0.5
     lp = params["layers"]
 
-    def layer(h, xs):
+    # In-scan KV writes: thread the cache buffers through the layer scan and
+    # dynamic_update_slice each layer's plane in place (XLA aliases carried
+    # buffers inside the loop).  The post-scan write kernel costs a measured
+    # ~0.6 ms/step at XL (staged aligned windows + launch) vs ~0 for the
+    # carried dus.  Batched (vmapped) callers keep the post-scan stacked
+    # kernel: a per-slot-start dus under vmap degrades to scatter/copies.
+    from ..kv import WRITE_IN_SCAN, _batching
+
+    if commit and not (isinstance(write_offset, int) and write_offset == 0):
+        raise ValueError("forward(commit=True) requires write_offset == 0")
+    inscan = (
+        WRITE_IN_SCAN != "never"
+        and not kv.quantized
+        and not isinstance(kv.length, _batching.BatchTracer)
+        and not any(isinstance(x, _batching.BatchTracer)
+                    for x in (kv.k, kv.v, embeds))
+    )
+    w_start = kv.length + jnp.asarray(write_offset, jnp.int32)
+
+    def layer(carry, xs):
         # k_cache/v_cache: [B, G, S, W] grouped; scales [B, G, S] or None.
         # The cache is INDEXED per layer rather than passed as scan xs:
         # scan xs must be layer-leading, and under vmap (batched serving)
         # that forces a full-buffer [R, L, ...] -> [L, R, ...] transpose of
         # the multi-GB stacked cache every step.  dynamic_index_in_dim on
-        # the captured buffer batches to a per-layer slice with no
-        # transpose (verified in the lowered HLO of the batched step).
+        # the captured (or carried) buffer batches to a per-layer slice with
+        # no transpose (verified in the lowered HLO of the batched step).
         idx, w = xs
-        k_cache = jax.lax.dynamic_index_in_dim(kv.k, idx, 0, keepdims=False)
-        v_cache = jax.lax.dynamic_index_in_dim(kv.v, idx, 0, keepdims=False)
+        if inscan:
+            h, kb, vb = carry
+        else:
+            h, kb, vb = carry, kv.k, kv.v
+        k_cache = jax.lax.dynamic_index_in_dim(kb, idx, 0, keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(vb, idx, 0, keepdims=False)
         k_sc = (None if kv.k_scale is None else
                 jax.lax.dynamic_index_in_dim(kv.k_scale, idx, 0, keepdims=False))
         v_sc = (None if kv.v_scale is None else
@@ -435,16 +460,34 @@ def forward(
         if cfg.swin_norm:
             mlp = rms_norm(mlp, w["ffn_norm"], cfg.rms_norm_eps)
         h2 = h1 + mlp
+        if inscan:
+            z = jnp.zeros((), jnp.int32)
+            kg = group_blocks(k).astype(kb.dtype)[None]   # [1, B, G, T, W]
+            vg = group_blocks(v).astype(vb.dtype)[None]
+            kb = jax.lax.dynamic_update_slice(kb, kg, (idx, z, z, w_start, z))
+            vb = jax.lax.dynamic_update_slice(vb, vg, (idx, z, z, w_start, z))
+            return (h2, kb, vb), None
         return h2, (k, v)
 
-    hidden, (k_new, v_new) = jax.lax.scan(
-        layer, embeds,
-        (jnp.arange(cfg.num_layers), lp),
-        unroll=min(cfg.scan_unroll, cfg.num_layers),
-    )
+    if inscan:
+        (hidden, k_buf, v_buf), _ = jax.lax.scan(
+            layer, (embeds, kv.k, kv.v),
+            (jnp.arange(cfg.num_layers), lp),
+            unroll=min(cfg.scan_unroll, cfg.num_layers),
+        )
+        T_new = embeds.shape[1]
+        kv = dataclasses.replace(
+            kv, k=k_buf, v=v_buf,
+            length=kv.length + (T_new if commit else 0))
+    else:
+        hidden, (k_new, v_new) = jax.lax.scan(
+            layer, embeds,
+            (jnp.arange(cfg.num_layers), lp),
+            unroll=min(cfg.scan_unroll, cfg.num_layers),
+        )
+        kv = kv.write(k_new, v_new, advance=commit, offset=write_offset)
     if cfg.final_norm:
         hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
-    kv = kv.write(k_new, v_new, advance=commit, offset=write_offset)
     return ForwardResult(hidden=hidden, kv=kv)
 
 

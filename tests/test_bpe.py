@@ -84,6 +84,8 @@ def test_session_raw_text_prompt(tmp_path):
         num_layers=1, num_heads=2, num_kv_heads=2, rope_kind="1d",
         cond_kind="none", qk_norm=True, max_seq_len=96, dtype="float32")
     sess = ChameleonSession.random(cfg, family="lumina", grid=(4, 4))
+    # random sessions ship the hash fallback; clearing it makes raw text fail
+    sess.tokenizer = None
     with pytest.raises(ValueError, match="tokenizer"):
         sess._prompt("a prompt")
     sess.tokenizer = ChameleonBPE(str(_make_tokenizer_file(tmp_path)))
