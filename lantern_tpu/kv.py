@@ -55,11 +55,12 @@ GRP = 128   # lane-group width (TPU minor-dim tile)
 PALLAS_WRITE = "auto"
 
 # In-scan KV writes (transformer.forward): "auto" threads the cache through
-# the layer scan and updates each plane in place via dynamic_update_slice on
-# the scan carry — measured ~0.6 ms/step cheaper than the post-scan kernel
-# at XL.  "never" forces the post-scan write path (kernel or dus).  Batched
-# (vmapped) and quantized callers always use the post-scan path.
-WRITE_IN_SCAN = "auto"
+# the layer scan and updates each plane via dynamic_update_slice on the scan
+# carry.  MEASURED SLOWER than the post-scan aliased kernel on v5e (XL, 64
+# iters: T=1 in-scan 2.96 ms vs kernel 2.59; T=58 4.44 vs 3.86 — XLA does
+# not alias the carried buffer cheaply through the per-layer dus), so the
+# default stays "never"; the path is kept for future platforms/compilers.
+WRITE_IN_SCAN = "never"
 
 
 def _pallas_write_ok(cache: "KVCache", *new) -> tuple[bool, bool]:
