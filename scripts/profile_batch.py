@@ -78,11 +78,12 @@ def main():
                             max_new=256, mode="static")
     rope = tfm.make_rope_tables(cfg)
 
-    # hand-built batched state (eager prefill never finishes over the tunnel)
+    # hand-built batched state (eager prefill never finishes over the
+    # tunnel; jit the creation too — one remote call instead of dozens)
     plen = jnp.full((R,), 248, jnp.int32)
-    base_kv = jax.vmap(
+    base_kv = jax.jit(jax.vmap(
         lambda l: dataclasses.replace(KVCache.create(cfg, 2), length=l)
-    )(plen)
+    ))(plen)
 
     N1 = tree.num_nodes
     attn_mask = np.asarray(tree.attn_mask)
