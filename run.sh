@@ -21,10 +21,14 @@ point=(${POINTS[$((slice % ${#POINTS[@]}))]})
 k=${point[0]}
 delta=${point[1]}
 
+# SLOTS>1 drives the continuous-batching serving path (BatchedEngine +
+# Scheduler); per-request outputs and the stats schema are identical.
+SLOTS=${SLOTS:-4}
+
 python main.py generate_images \
     --model-type eagle --static-tree --tree-choices naive_extend_57 \
     --prompts-file "$prompts" --start-idx "$start" --end-idx "$end" \
     --lantern --lantern-k "$k" --lantern-delta "$delta" \
-    --seed 42 \
+    --seed 42 --slots "$SLOTS" \
     --output-dir "generated_images/coco2017_val/lantern_k_${k}_lambda_${delta}/slice_${slice}" \
     "${@:4}"
