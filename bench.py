@@ -13,7 +13,7 @@ CFG AR loop on the same model.
 No public LANTERN checkpoints ship in this zero-egress environment, so
 weights are random: per-step costs match the real model exactly, while
 step_compression is what the acceptance rule yields for an untrained
-(embedding-aligned) drafter — a lower bound on the trained-drafter number.
+(hidden-passthrough) drafter — a lower bound on the trained-drafter number.
 """
 
 from __future__ import annotations
@@ -86,7 +86,7 @@ def main():
         params = tfm.init_params(jax.random.key(0), cfg)
         dparams = drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
     # prefer a self-distilled drafter (scripts/prepare_bench_drafter.py);
-    # fall back to an embedding-aligned untrained one
+    # fall back to a hidden-passthrough untrained one
     drafter_ckpt = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"ckpts/bench_drafter_{size}.npz",
@@ -105,7 +105,7 @@ def main():
     else:
         H = cfg.hidden_size
         fc = np.zeros((2 * H, H), np.float32)
-        fc[:H] = np.eye(H)
+        fc[H:] = np.eye(H)   # hidden-passthrough: input is [embed, hidden]
         dparams["fc_w"] = jnp.asarray(fc, dtype=cfg.jnp_dtype)
         dparams["layers"] = jax.tree.map(lambda a: a * 0, dparams["layers"])
 
@@ -377,12 +377,12 @@ def lumina_main():
         params = tfm.init_params(jax.random.key(0), cfg)
         dparams = drf.init_drafter_params(jax.random.key(1), dcfg,
                                           params["embed"])
-        # embedding-aligned drafter (no public Lumina drafter ckpt here):
+        # hidden-passthrough drafter (no public Lumina drafter ckpt here):
         # the drafter passes the base hidden through, so proposals track the
         # base distribution — a usable acceptance stand-in
         H = cfg.hidden_size
         fc = np.zeros((2 * H, H), np.float32)
-        fc[:H] = np.eye(H)
+        fc[H:] = np.eye(H)   # hidden-passthrough: input is [embed, hidden]
         dparams["fc_w"] = jnp.asarray(fc, dtype=cfg.jnp_dtype)
         dparams["layers"] = jax.tree.map(lambda a: a * 0, dparams["layers"])
         cb = jax.random.normal(jax.random.key(3), (8192, 8))

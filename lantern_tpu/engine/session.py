@@ -105,7 +105,7 @@ class LlamaGenSession:
             if aligned_drafter:
                 H = cfg.hidden_size
                 fc = np.zeros((2 * H, H), np.float32)
-                fc[:H] = np.eye(H)
+                fc[H:] = np.eye(H)   # hidden-passthrough: input is [embed, hidden]
                 dparams["fc_w"] = jnp.asarray(fc, dtype=cfg.jnp_dtype)
                 dparams["layers"] = jax.tree.map(lambda a: a * 0, dparams["layers"])
         vq_cfg = vq_params = None
@@ -497,7 +497,7 @@ class ChameleonSession:
             if aligned_drafter:
                 H = cfg.hidden_size
                 fc = np.zeros((2 * H, H), np.float32)
-                fc[:H] = np.eye(H)
+                fc[H:] = np.eye(H)   # hidden-passthrough: input is [embed, hidden]
                 dparams["fc_w"] = jnp.asarray(fc, dtype=cfg.jnp_dtype)
                 dparams["layers"] = jax.tree.map(lambda a: a * 0, dparams["layers"])
         return cls(cfg=cfg, dcfg=dcfg, params=params, dparams=dparams,

@@ -70,7 +70,7 @@ def make_aligned_drafter(cfg, dcfg, params):
     dparams = drf.init_drafter_params(jax.random.key(2), dcfg, params["embed"])
     H = cfg.hidden_size
     fc = np.zeros((2 * H, H), np.float32)
-    fc[:H] = np.eye(H)
+    fc[H:] = np.eye(H)   # hidden-passthrough: input is [embed, hidden]
     dparams["fc_w"] = jnp.asarray(fc)
     dparams["fc_b"] = jnp.zeros((H,))
     dparams["layers"] = jax.tree.map(lambda a: a * 0.0, dparams["layers"])
