@@ -66,7 +66,10 @@ class BatchedEngine:
                        drafter_pv=(prefix_valid if cfg.cond_kind == "none"
                                    else None),
                        pos_offsets=pos_offsets, logits_mask=logits_mask,
-                       logits_fn=logits_fn)
+                       # per-slot grid start (ragged Lumina prompt lengths):
+                       # the slot's uncond offset IS its image-start index
+                       logits_fn=spec_engine.bind_logits_fn(logits_fn,
+                                                            pos_offsets))
             if ecfg.mode == "static":
                 f = spec_engine.make_static_step(ecfg, cfg, dcfg, tree, ctx)
             else:

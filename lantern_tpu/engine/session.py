@@ -429,11 +429,12 @@ class ChameleonSession:
     ):
         """Continuous-batching generation over token/text prompts (the
         reference's vLLM data-gen role, vllm_inference_solver.py:243-343).
-        Lumina's grid FSM indexes absolute cond positions, so all prompts in
-        one batch must share a token length there (prompt padding or
-        bucketing upstream); Anole prompts may differ (each distinct length
-        compiles one extra prefill).  Returns scheduler Requests in input
-        order; failures carry ``error`` and the batch keeps serving."""
+        Prompt lengths may differ freely — Lumina's grid FSM receives each
+        slot's image-start index as a traced per-slot value (ragged batching,
+        matching vllm_inference_solver.py:296-306); each distinct prompt
+        length compiles one extra prefill but shares the step program.
+        Returns scheduler Requests in input order; failures carry ``error``
+        and the batch keeps serving."""
         from ..models import chameleon as cham
         from .batch import BatchedEngine
         from .scheduler import Request, Scheduler
@@ -461,10 +462,10 @@ class ChameleonSession:
         mask = jnp.asarray(cham.non_image_token_mask(cfg.vocab_size))
         logits_fn = None
         if self.family == "lumina" and lens:
-            if len(lens) > 1:
-                raise ValueError(
-                    f"lumina batches need equal prompt lengths (got {sorted(lens)});"
-                    " pad or bucket the prompts")
+            # prompt lengths may differ across slots: the engine binds each
+            # slot's image-start index (its uncond position offset) into the
+            # FSM as a traced override (spec.bind_logits_fn), so the static
+            # field here is only a fallback default
             logits_fn = cham.LuminaGridFSM(
                 w=w, h=h, image_start_idx=max(lens) - 3,
                 vocab_size=cfg.vocab_size, **(self.fsm_overrides or {}),

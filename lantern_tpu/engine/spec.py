@@ -98,6 +98,23 @@ def _mask_logits(logits: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarra
     return jnp.where(mask, jnp.finfo(jnp.float32).min, logits)
 
 
+def bind_logits_fn(logits_fn, pos_offsets):
+    """Bind a per-request grid-start index into a position-indexed logits_fn.
+
+    ``LuminaGridFSM.image_start_idx`` is a static field; engines whose
+    requests may have different prompt lengths instead thread each request's
+    uncond position offset (``pos_offsets[1]``, which ``lumina_token_prompt``
+    sets to the image-start index) as a traced override, so ONE compiled
+    step serves ragged prompt lengths — the reference's vLLM path batches
+    ragged paired-CFG prompts freely (vllm_inference_solver.py:296-306)."""
+    if logits_fn is None or not hasattr(logits_fn, "image_start_idx"):
+        return logits_fn
+
+    def bound(logits, positions):
+        return logits_fn(logits, positions, start=pos_offsets[1])
+    return bound
+
+
 class _Ctx(NamedTuple):
     """Per-run closure: params + tables (traced constants)."""
     params: dict
@@ -426,6 +443,7 @@ def prefill_request(
         pv = jax.lax.dynamic_update_slice(pv, tp.valid.astype(bool), (0, 0))
         prefix_valid = pv
         offs = jnp.stack([jnp.zeros((), jnp.int32), tp.pos_diff.astype(jnp.int32)])
+        logits_fn = bind_logits_fn(logits_fn, offs)
         ctx = _Ctx(params=params, dparams=dparams, rope=rope, drope=drope,
                    nearest=nearest, prefix_valid=prefix_valid,
                    drafter_pv=prefix_valid,
@@ -537,7 +555,9 @@ def generate(
                prefix_valid=prefix_valid,
                drafter_pv=prefix_valid if token_prompt is not None else None,
                pos_offsets=offs,
-               logits_mask=logits_mask, logits_fn=logits_fn,
+               logits_mask=logits_mask,
+               logits_fn=(bind_logits_fn(logits_fn, offs)
+                          if token_prompt is not None else logits_fn),
                lantern_rt=lantern_rt)
     if ecfg.mode == "static":
         step = make_static_step(ecfg, cfg, dcfg, spec, ctx)

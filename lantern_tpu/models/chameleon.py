@@ -155,10 +155,18 @@ class LuminaGridFSM(NamedTuple):
     image_lo: int = IMAGE_TOKEN_START
     image_hi: int = IMAGE_TOKEN_END
 
-    def __call__(self, logits: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, logits: jnp.ndarray, positions: jnp.ndarray,
+                 start=None) -> jnp.ndarray:
         """logits [T, V] scoring the tokens at cond positions+1; constrain per
         the grid state (MultiModalLogitsProcessor semantics with
-        position_ids = positions + 1, image_start_token_id_index set)."""
+        position_ids = positions + 1, image_start_token_id_index set).
+
+        ``start`` (traced scalar) overrides the static ``image_start_idx`` —
+        the batched engine binds it to each slot's uncond position offset
+        (== the prompt's image-start index, ``lumina_token_prompt``) so one
+        compiled engine serves ragged prompt lengths (the reference's vLLM
+        path batches ragged paired-CFG prompts freely,
+        vllm_inference_solver.py:296-306)."""
         if self.newline_id >= self.vocab_size or self.image_end_id >= self.vocab_size:
             # an out-of-range .at[id].set would be silently dropped, leaving
             # forced rows all -inf; small-vocab tests must override the ids
@@ -166,8 +174,9 @@ class LuminaGridFSM(NamedTuple):
                 f"newline_id {self.newline_id} / image_end_id "
                 f"{self.image_end_id} outside vocab {self.vocab_size}; "
                 "pass fsm overrides for small-vocab configs")
+        isi = self.image_start_idx if start is None else start
         neg = jnp.finfo(jnp.float32).min
-        n_gen = (positions + 1) - (self.image_start_idx + 1 + 2)     # [T]
+        n_gen = (positions + 1) - (isi + 1 + 2)                      # [T]
         k = n_gen + 1
         ids = np.arange(self.vocab_size)
         suppress = jnp.asarray((ids < self.image_lo) | (ids > self.image_hi))

@@ -309,14 +309,21 @@ def meta_chameleon_to_hf(shards, num_layers: int, n_heads: int, dim: int,
             wk, n_kv, dim1=hd * n_kv)
         out[O + "self_attn.v_proj.weight"] = cat(P + "attention.wv.weight", 0)
         out[O + "self_attn.o_proj.weight"] = cat(P + "attention.wo.weight", 1)
-        # QK-norm: per-shard [hd] params concatenate into the MP-replicated
-        # layout (converter:233-256); single-shard passes through
+        # QK-norm: each shard's [hd] gamma/beta gets the same interleaved->
+        # sliced permute as wq/wk (converter:171-195 unsharded
+        # .view(hd//2,2).t(), 239-256 sharded .view(ns,hd//2,2)
+        # .transpose(1,2)) so it applies to the permuted head_dim layout,
+        # then shards concatenate into the MP-replicated layout
+        def qk_permute(v):
+            r = np.asarray(v).reshape(-1, hd // 2, 2)
+            return r.transpose(0, 2, 1).reshape(np.shape(v))
+
         for norm, hf in (("q_normalization", "q_norm"),
                          ("k_normalization", "k_norm")):
             for part in ("weight", "bias"):
                 key = P + f"attention.{norm}.{part}"
                 if key in shards[0]:
-                    out[O + f"self_attn.{hf}.{part}"] = cat(key, 0)
+                    out[O + f"self_attn.{hf}.{part}"] = qk_permute(cat(key, 0))
         out[O + "mlp.gate_proj.weight"] = cat(P + "feed_forward.w1.weight", 0)
         out[O + "mlp.down_proj.weight"] = cat(P + "feed_forward.w2.weight", 1)
         out[O + "mlp.up_proj.weight"] = cat(P + "feed_forward.w3.weight", 0)

@@ -169,6 +169,10 @@ int32_t lantern_sched_fail(void* h, uint64_t uid) {
     if (v == static_cast<int64_t>(uid)) v = -1;
   for (auto q = s->queue.begin(); q != s->queue.end(); ++q)
     if (*q == uid) { s->queue.erase(q); break; }
+  // a finished-but-undrained uid must leave the deque too, or a later
+  // drain would .at() an erased request across the extern "C" boundary
+  for (auto f = s->finished.begin(); f != s->finished.end();)
+    f = (*f == uid) ? s->finished.erase(f) : f + 1;
   s->reqs.erase(it);
   s->total_failed++;
   return 1;

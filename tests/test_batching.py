@@ -153,6 +153,60 @@ def test_batched_token_prompts():
         np.testing.assert_array_equal(r.tokens, expected[r.uid])
 
 
+def test_batched_ragged_lumina_prompts():
+    """Mixed prompt lengths in ONE Lumina batch: each slot's grid FSM start
+    index is a traced per-slot value (bind_logits_fn), so batched output is
+    token-identical to per-request runs — the reference's vLLM path batches
+    ragged paired-CFG prompts freely (vllm_inference_solver.py:296-306)."""
+    from lantern_tpu.models import chameleon as cham
+
+    V, NEWLINE, IMG_END = 64, 60, 61
+    HG, WG = 2, 3
+    max_new = (WG + 1) * HG + 1
+    cfg = configs.tiny_config(
+        vocab_size=V, hidden_size=64, num_layers=2, num_heads=4,
+        rope_kind="1d", cond_kind="none", qk_norm=True,
+    )
+    dcfg = configs.drafter_config(cfg, total_tokens=10, depth=2, top_k=4)
+    params = tfm.init_params(jax.random.key(0), cfg)
+    dparams = drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
+    ecfg = spec.SpecDecodeConfig(
+        warp=LogitsWarp(temperature=0.0), cfg_scale=2.0,
+        max_new=max_new, mode="static",
+    )
+    tree = trees.get_tree("chain")
+    texts = [[12], [12, 33], [12, 33, 7]]          # three different lengths
+    prompts = [cham.lumina_token_prompt(t, grid=(HG, WG)) for t in texts]
+
+    def fsm_for(start):
+        return cham.LuminaGridFSM(
+            w=WG, h=HG, image_start_idx=start, vocab_size=V,
+            newline_id=NEWLINE, image_end_id=IMG_END, image_lo=4, image_hi=50)
+
+    expected = []
+    for i, tp in enumerate(prompts):
+        res = spec.generate(params, dparams, ecfg, cfg, dcfg, tree,
+                            None, None, jax.random.key(9 + i),
+                            token_prompt=tp, logits_fn=fsm_for(int(tp.pos_diff)))
+        expected.append(np.asarray(res.tokens))
+
+    # one engine, one FSM whose static start is WRONG for two of the three
+    # slots — the per-slot traced override must win
+    eng = BatchedEngine(ecfg=ecfg, cfg=cfg, dcfg=dcfg, tree=tree,
+                        params=params, dparams=dparams, num_slots=3,
+                        logits_fn=fsm_for(0))
+    reqs = [Request(uid=i, token_prompt=tp, seed=9 + i)
+            for i, tp in enumerate(prompts)]
+    done = Scheduler(eng, use_native=False).run(reqs)
+    for r in done:
+        assert r.error is None, r.error
+        np.testing.assert_array_equal(r.tokens, expected[r.uid])
+        # grammar holds per slot: newline every WG+1 tokens, eos at the end
+        body = r.tokens[: max_new - 1].reshape(HG, WG + 1)
+        assert (body[:, WG] == NEWLINE).all()
+        assert r.tokens[max_new - 1] == IMG_END
+
+
 def test_step_many_equals_repeated_step(setup):
     """The fused multi-step dispatch must be bit-identical to n single
     steps (same math, one scan)."""

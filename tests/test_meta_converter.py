@@ -54,6 +54,15 @@ def test_permute_matches_reference_formula():
     ref = (w.view(NH, DIM // NH // 2, 2, DIM).transpose(1, 2)
            .reshape(DIM, DIM).numpy())
     np.testing.assert_array_equal(out["model.layers.0.self_attn.q_proj.weight"], ref)
+    # QK-norm gamma/beta get the same sliced-rotary permute (reference
+    # unsharded formula .view(hd//2,2).t().reshape(1,-1),
+    # convert_chameleon_weights_to_hf.py:171-195)
+    for meta, hf in (("q_normalization", "q_norm"), ("k_normalization", "k_norm")):
+        for part in ("weight", "bias"):
+            g = torch.tensor(sd[f"layers.0.attention.{meta}.{part}"])
+            ref_g = g.view(HD // 2, 2).t().reshape(-1).numpy()
+            np.testing.assert_array_equal(
+                out[f"model.layers.0.self_attn.{hf}.{part}"].reshape(-1), ref_g)
     # non-permuted tensors pass through
     np.testing.assert_array_equal(
         out["model.layers.0.self_attn.v_proj.weight"],
@@ -140,5 +149,11 @@ def test_load_meta_dir_with_shards(tmp_path):
     np.testing.assert_allclose(sd["lm_head.weight"], ref["lm_head.weight"])
     np.testing.assert_allclose(sd["model.embed_tokens.weight"],
                                ref["model.embed_tokens.weight"])
-    # MP-replicated QK-norm layout: 2 shards concatenate to [2*hd]
+    # MP-replicated QK-norm layout: 2 shards concatenate to [2*hd], each
+    # shard row permuted (converter:239-256 .view(ns,hd//2,2).transpose(1,2))
     assert sd["model.layers.0.self_attn.q_norm.weight"].shape == (2 * HD,)
+    g = torch.tensor(full["layers.0.attention.q_normalization.weight"])
+    per = g.view(HD // 2, 2).t().reshape(-1).numpy()
+    np.testing.assert_array_equal(
+        sd["model.layers.0.self_attn.q_norm.weight"],
+        np.concatenate([per, per]))
