@@ -369,22 +369,46 @@ def lumina_main():
                           num_kv_heads=int(os.environ.get("BENCH_LUMINA_H", 4096)) // 128)
     if os.environ.get("BENCH_LUMINA_FLASH", "1") == "0":
         cfg = _dc.replace(cfg, use_flash_attention=False)
-    dcfg = configs.drafter_config(cfg, total_tokens=59, depth=4, top_k=10)
+
+    # self-distilled drafter (scripts/prepare_lumina_drafter.py); fall back
+    # to the hidden-passthrough stand-in when absent
+    drafter_ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "ckpts/bench_drafter_lumina.npz")
+    trained = os.path.exists(drafter_ckpt)
+    d_layers = 1
+    if trained:
+        with np.load(drafter_ckpt) as z0:
+            if "num_layers" in z0.files:
+                d_layers = int(z0["num_layers"])
 
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
     with jax.default_device(cpu):
         params = tfm.init_params(jax.random.key(0), cfg)
-        dparams = drf.init_drafter_params(jax.random.key(1), dcfg,
+        dcfg = configs.drafter_config(cfg, num_layers=d_layers,
+                                      total_tokens=59, depth=4, top_k=10)
+        dparams = drf.init_drafter_params(jax.random.key(101), dcfg,
                                           params["embed"])
-        # hidden-passthrough drafter (no public Lumina drafter ckpt here):
-        # the drafter passes the base hidden through, so proposals track the
-        # base distribution — a usable acceptance stand-in
-        H = cfg.hidden_size
-        fc = np.zeros((2 * H, H), np.float32)
-        fc[H:] = np.eye(H)   # hidden-passthrough: input is [embed, hidden]
-        dparams["fc_w"] = jnp.asarray(fc, dtype=cfg.jnp_dtype)
-        dparams["layers"] = jax.tree.map(lambda a: a * 0, dparams["layers"])
+        if trained:
+            z = np.load(drafter_ckpt)
+            dt_ = cfg.jnp_dtype
+            dparams["fc_w"] = jnp.asarray(z["fc_w"], dt_)
+            dparams["fc_b"] = jnp.asarray(z["fc_b"], dt_)
+            dparams["layers"] = {
+                k[len("layers."):]: jnp.asarray(z[k], dt_)
+                for k in z.files if k.startswith("layers.")
+            }
+            note(f"loaded trained drafter {drafter_ckpt}")
+        else:
+            # hidden-passthrough drafter: the drafter passes the base hidden
+            # through, so proposals track the base distribution — a usable
+            # acceptance stand-in
+            H = cfg.hidden_size
+            fc = np.zeros((2 * H, H), np.float32)
+            fc[H:] = np.eye(H)   # input is [embed, hidden]
+            dparams["fc_w"] = jnp.asarray(fc, dtype=cfg.jnp_dtype)
+            dparams["layers"] = jax.tree.map(lambda a: a * 0,
+                                             dparams["layers"])
         cb = jax.random.normal(jax.random.key(3), (8192, 8))
         near = np.asarray(nearest_latents(cb, k=LK + 1))
         params["nearest_latents"] = jnp.asarray(
@@ -441,7 +465,8 @@ def lumina_main():
         "metric": (
             f"image_tokens_per_s_per_chip (Lumina-mGPT-7B-class t2i "
             f"{MAX_NEW}tok {GRID}x{GRID} grid-FSM, EAGLE-1 static tree + "
-            f"LANTERN k={LK} d={LD}, sampling, aligned drafter)"),
+            f"LANTERN k={LK} d={LD}, sampling, "
+            + ("self-distilled drafter)" if trained else "aligned drafter)")),
         "value": round(MAX_NEW / t_spec, 2),
         "unit": "tokens/s",
         "vs_baseline": round(t_ar / t_spec, 3),

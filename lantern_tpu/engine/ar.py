@@ -13,6 +13,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..configs import ModelConfig
 from ..kv import KVCache
@@ -23,6 +24,10 @@ from ..models import transformer as tfm
 class ARResult(NamedTuple):
     tokens: jnp.ndarray     # [max_new] generated ids
     kv: KVCache
+    # committed length: max_new, or with stop_ids the index one past the
+    # first stop id (HF generate eos_token_id semantics,
+    # inference_solver.py:441); -1 means "no stop tracking requested"
+    n_valid: jnp.ndarray = np.asarray(-1, np.int32)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new", "warp", "kv_quant"))
@@ -115,7 +120,7 @@ def generate_many(
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new", "warp",
-                                   "logits_fn", "kv_quant"))
+                                   "logits_fn", "kv_quant", "stop_ids"))
 def generate_tokens(
     params: dict,
     cfg: ModelConfig,
@@ -128,6 +133,7 @@ def generate_tokens(
     logits_fn=None,
     rope=None,
     kv_quant: bool = False,
+    stop_ids: tuple = (),
 ) -> ARResult:
     """Chameleon-family base-mode CFG AR loop over a token prompt.
 
@@ -138,6 +144,10 @@ def generate_tokens(
     logits and feeds it to both rows.  ``logits_mask`` suppresses non-image
     tokens; ``logits_fn(logits [T,V], cond_positions)`` applies the Lumina
     grid FSM.
+
+    ``stop_ids`` enables EOS-terminated variable-length generation (HF
+    generate ``eos_token_id`` semantics, inference_solver.py:441): the loop
+    exits after committing any stop id and ``n_valid`` includes it.
     """
     if rope is None:
         rope = tfm.make_rope_tables(cfg)
@@ -169,6 +179,10 @@ def generate_tokens(
         tok: jnp.ndarray
         out: jnp.ndarray
         rng: jax.Array
+        i: jnp.ndarray = np.asarray(0, np.int32)
+        stopped: jnp.ndarray = np.zeros((), bool)
+
+    stops = np.asarray(stop_ids, np.int32) if stop_ids else None
 
     def body(i, c: Carry):
         out = c.out.at[i].set(c.tok[0])
@@ -178,9 +192,17 @@ def generate_tokens(
         logits = tfm.logits_head(params, res.hidden[:, -1:])
         rng, r = jax.random.split(c.rng)
         nxt = sample_token(r, warp_logits(logits, pos[0]), warp)
-        return Carry(kv=res.kv, tok=nxt, out=out, rng=rng)
+        stop = (c.stopped if stops is None
+                else c.stopped | jnp.any(c.tok[0] == stops))
+        return Carry(kv=res.kv, tok=nxt, out=out, rng=rng,
+                     i=jnp.asarray(i + 1, jnp.int32), stopped=stop)
 
     init = Carry(kv=res.kv, tok=tok, out=jnp.zeros((max_new,), jnp.int32),
-                 rng=rng)
-    fin = jax.lax.fori_loop(0, max_new, body, init)
-    return ARResult(tokens=fin.out, kv=fin.kv)
+                 rng=rng, i=jnp.zeros((), jnp.int32),
+                 stopped=jnp.zeros((), bool))
+    if stops is None:
+        fin = jax.lax.fori_loop(0, max_new, body, init)
+        return ARResult(tokens=fin.out, kv=fin.kv)
+    fin = jax.lax.while_loop(
+        lambda c: (c.i < max_new) & ~c.stopped, lambda c: body(c.i, c), init)
+    return ARResult(tokens=fin.out, kv=fin.kv, n_valid=fin.i)

@@ -33,7 +33,14 @@ from .spec import SpecDecodeConfig, SpecState, TokenPrompt, _Ctx
 
 @dataclasses.dataclass
 class BatchedEngine:
-    """R-slot continuous-batching speculative decoder (single chip or mesh)."""
+    """R-slot continuous-batching speculative decoder (single chip or mesh).
+
+    ``mesh`` composes serving with the (dp, tp) device mesh: slots (requests)
+    shard over ``dp``, base params/KV over ``tp`` (shard them with
+    ``parallel.mesh.shard_pytree`` before constructing the engine), drafter
+    replicated — the TPU counterpart of the reference's vLLM-with-TP serving
+    (third_party/vllm/vllm/model_executor/models/chameleon.py:222-322).
+    ``num_slots`` must be a multiple of the mesh's dp size."""
 
     ecfg: SpecDecodeConfig
     cfg: ModelConfig
@@ -44,6 +51,7 @@ class BatchedEngine:
     num_slots: int
     logits_mask: Optional[jnp.ndarray] = None
     logits_fn: object = None
+    mesh: object = None
 
     def __post_init__(self):
         ecfg, cfg, dcfg, tree = self.ecfg, self.cfg, self.dcfg, self.tree
@@ -74,7 +82,7 @@ class BatchedEngine:
                 f = spec_engine.make_static_step(ecfg, cfg, dcfg, tree, ctx)
             else:
                 f = spec_engine.make_dynamic_step(ecfg, cfg, dcfg, ctx)
-            active = state.n_new < ecfg.max_new
+            active = (state.n_new < ecfg.max_new) & ~state.stopped
             new_state = f(state)
 
             # Freeze finished slots — but ONLY the cheap leaves.  A tree-wide
@@ -96,6 +104,7 @@ class BatchedEngine:
                 steps=sel(state.steps, new_state.steps),
                 accept_sum=sel(state.accept_sum, new_state.accept_sum),
                 rng=sel(state.rng, new_state.rng),
+                stopped=sel(state.stopped, new_state.stopped),
                 base_kv=dataclasses.replace(
                     new_state.base_kv,
                     length=sel(state.base_kv.length, new_state.base_kv.length)),
@@ -146,16 +155,53 @@ class BatchedEngine:
 
     def empty_batch(self, proto):
         """Replicate a prototype request R times, marked finished (n_new past
-        max) so steps are no-ops until slots are filled."""
+        max) so steps are no-ops until slots are filled.  With a ``mesh``,
+        the batch lands dp-sharded over slots (KV head groups over tp where
+        divisible); later steps/inserts preserve the placement."""
         state, pv, offs = proto
         R = self.num_slots
         bstate = jax.tree.map(lambda a: jnp.broadcast_to(a, (R,) + a.shape), state)
         bstate = bstate._replace(n_new=jnp.full((R,), 1 << 30, jnp.int32))
-        return (
+        batch = (
             bstate,
             jnp.broadcast_to(pv, (R,) + pv.shape),
             jnp.broadcast_to(offs, (R,) + offs.shape),
         )
+        if self.mesh is not None:
+            batch = jax.device_put(batch, self._batch_shardings(batch))
+        return batch
+
+    def _batch_shardings(self, batch):
+        """Sharding tree for the batch state: slot axis over dp; the base
+        KV's head-group axis (and its int8 scale planes) over tp."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DP, TP
+
+        mesh = self.mesh
+        if self.num_slots % mesh.shape[DP]:
+            raise ValueError(
+                f"num_slots {self.num_slots} must be a multiple of the "
+                f"mesh dp size {mesh.shape[DP]}")
+
+        def slot_only(a):
+            return NamedSharding(mesh, P(*([DP] + [None] * (a.ndim - 1))))
+
+        bstate, bpv, boffs = batch
+        sh = jax.tree.map(slot_only, batch)
+        kv = bstate.base_kv
+        G = kv.k.shape[3]                  # [R, L, B2, G, S, W]
+        if G % mesh.shape[TP] == 0:
+            buf = NamedSharding(mesh, P(DP, None, None, TP, None, None))
+            scale = NamedSharding(mesh, P(DP, None, None, TP, None))
+            kv_sh = sh[0].base_kv
+            kv_sh = dataclasses.replace(
+                kv_sh, k=buf, v=buf,
+                k_scale=None if kv.k_scale is None else scale,
+                v_scale=None if kv.v_scale is None else scale,
+            )
+            sh = (sh[0]._replace(base_kv=kv_sh), sh[1], sh[2])
+        return sh
 
     @staticmethod
     def _insert_impl(batch, slot, request):
@@ -188,13 +234,25 @@ class BatchedEngine:
     def slot_status(self, batch):
         """(n_new, steps, accept_sum) per slot as numpy — one device fetch
         (three separate np.asarray calls would pay three round trips on
-        remote links)."""
+        remote links).  With ``ecfg.stop_ids``, stopped slots report
+        ``n_new`` as ``max_new`` so schedulers see them as done."""
+        import numpy as np
+
         bstate = batch[0]
-        n_new, steps, acc = jax.device_get(
-            (bstate.n_new, bstate.steps, bstate.accept_sum))
+        n_new, steps, acc, stopped = jax.device_get(
+            (bstate.n_new, bstate.steps, bstate.accept_sum, bstate.stopped))
+        if self.ecfg.stop_ids:
+            n_new = np.where(stopped, self.ecfg.max_new, n_new)
         return n_new, steps, acc
 
     def slot_tokens(self, batch, slot):
+        """Slot's committed stream, truncated at the first stop id when
+        ``ecfg.stop_ids`` is set."""
         import numpy as np
 
-        return np.asarray(batch[0].tokens[slot][: self.ecfg.max_new])
+        toks = np.asarray(batch[0].tokens[slot][: self.ecfg.max_new])
+        if self.ecfg.stop_ids:
+            hit = np.isin(toks, np.asarray(self.ecfg.stop_ids))
+            if hit.any():
+                toks = toks[: int(np.argmax(hit)) + 1]
+        return toks

@@ -536,7 +536,20 @@ class ChameleonSession:
         seed: int = 0,
         kv_quant: bool = False,
         warp_order: str = "hf",   # "ar" = reference vanilla-AR order
+        stop_ids=None,            # EOS-terminated interleaved generation
+        logits_fn="auto",         # custom logits processor; "auto" = family
     ):
+        """Generate one stream.  Default mode is fixed-budget image
+        generation (non-image tokens suppressed / grid FSM enforced).
+
+        ``stop_ids`` (e.g. ``(8710,)``) switches to EOS-terminated
+        VARIABLE-LENGTH generation: logits run unconstrained (text and image
+        tokens both flow, so the model can interleave spans — the reference
+        solver loop's behavior with ``eos_token_id=[8710]``,
+        inference_solver.py:441), the engine stops once a stop id commits,
+        and the returned stream is truncated one past it.  Feed the result
+        to ``decode_ids`` to split text spans and decode the image spans
+        (inference_solver.py:474-499)."""
         from ..models import chameleon as cham
 
         cfg = self.cfg
@@ -546,31 +559,38 @@ class ChameleonSession:
         warp = LogitsWarp(temperature=temperature, top_k=top_k, top_p=top_p,
                           warp_order=warp_order)
         tp = self._prompt(text_tokens)
-        mask = jnp.asarray(cham.non_image_token_mask(cfg.vocab_size))
-        logits_fn = None
-        if self.family == "lumina":
-            logits_fn = cham.LuminaGridFSM(
-                w=w, h=h, image_start_idx=int(tp.pos_diff),
-                vocab_size=cfg.vocab_size, **(self.fsm_overrides or {}),
-            )
-            mask = None  # the FSM subsumes the static suppress mask
+        stop_ids = tuple(stop_ids) if stop_ids else ()
+        mask = (None if stop_ids else
+                jnp.asarray(cham.non_image_token_mask(cfg.vocab_size)))
+        if logits_fn == "auto":
+            logits_fn = None
+            if self.family == "lumina" and not stop_ids:
+                logits_fn = cham.LuminaGridFSM(
+                    w=w, h=h, image_start_idx=int(tp.pos_diff),
+                    vocab_size=cfg.vocab_size, **(self.fsm_overrides or {}),
+                )
+        if logits_fn is not None:
+            mask = None  # the processor subsumes the static suppress mask
         t0 = time.perf_counter()
         if mode == "ar" or self.dparams is None:
             res = ar.generate_tokens(
                 self.params, cfg, tp, max_new, cfg_scale, warp,
                 jax.random.key(seed), logits_mask=mask, logits_fn=logits_fn,
-                kv_quant=kv_quant,
+                kv_quant=kv_quant, stop_ids=stop_ids,
             )
             jax.block_until_ready(res.tokens)
             dt = time.perf_counter() - t0
-            return np.asarray(res.tokens), GenStats(1.0, dt, max_new, max_new)
+            toks = np.asarray(res.tokens)
+            if stop_ids:
+                toks = toks[: int(res.n_valid)]
+            return toks, GenStats(1.0, dt, len(toks), len(toks))
         dwarp = (None if drafter_top_k is None else
                  dataclasses.replace(warp, top_k=drafter_top_k))
         ecfg = spec.SpecDecodeConfig(
             warp=warp, cfg_scale=cfg_scale,
             lantern=LanternSpec(k=lantern_k, delta=lantern_delta),
             max_new=max_new, mode=mode, kv_quant=kv_quant,
-            drafter_warp=dwarp,
+            drafter_warp=dwarp, stop_ids=stop_ids,
         )
         tspec = trees.get_tree(tree) if mode == "static" else None
         res = spec.generate(
@@ -580,6 +600,7 @@ class ChameleonSession:
         )
         jax.block_until_ready(res.tokens)
         dt = time.perf_counter() - t0
-        toks = np.asarray(res.tokens)[:max_new]
+        n_out = int(res.n_valid) if stop_ids else max_new
+        toks = np.asarray(res.tokens)[:n_out]
         sc = float(res.accept_sum) / max(1.0, float(res.steps))
-        return toks, GenStats(sc, dt, int(res.steps), max_new)
+        return toks, GenStats(sc, dt, int(res.steps), n_out)

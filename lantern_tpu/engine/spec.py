@@ -58,6 +58,15 @@ class SpecDecodeConfig:
     # ea_model_lumina_mgpt.py:825-831: the drafter's logits processors get
     # their own top-k while the verifier keeps top_k).  None = share `warp`.
     drafter_warp: Optional[LogitsWarp] = None
+    # EOS-terminated (variable-length / interleaved) generation: the decode
+    # loop stops once any of these ids is COMMITTED, and SpecResult.n_valid
+    # marks the stream end (stop id included).  This implements the intended
+    # semantics of the reference solvers' eos_token_id — the base path's HF
+    # generate honors it (inference_solver.py:441); the reference EAGLE
+    # loop's own check (`eos_token_ids in input_ids[...].tolist()`,
+    # ea_model_lumina_mgpt.py:1010-1011) tests list-in-list membership and
+    # never fires, a reference bug we do not reproduce.
+    stop_ids: Tuple[int, ...] = ()
 
     @property
     def dwarp(self) -> LogitsWarp:
@@ -74,12 +83,18 @@ class SpecState(NamedTuple):
     steps: jnp.ndarray              # [] verify steps taken
     accept_sum: jnp.ndarray         # [] total accepted tokens (incl. roots)
     rng: jax.Array
+    stopped: jnp.ndarray = np.zeros((), bool)  # [] a stop id was committed
 
 
 class SpecResult(NamedTuple):
     tokens: jnp.ndarray             # [max_new]
     steps: jnp.ndarray
     accept_sum: jnp.ndarray
+    # committed stream length: max_new, or (with ecfg.stop_ids) the index
+    # one past the first stop id — tokens past it are conditioned on the
+    # stopped prefix exactly as a continued AR run would be, so truncation
+    # here equals stopping at the stop token
+    n_valid: jnp.ndarray = np.zeros((), np.int32)
 
     @property
     def step_compression(self):
@@ -241,6 +256,11 @@ def _verify_and_update(
     cand_row = jnp.where(jnp.arange(D) < n_acc, sel_tokens, 0)
     tokens = jax.lax.dynamic_update_slice(state.tokens, cand_row.astype(jnp.int32), (state.n_new,))
     n_new = state.n_new + n_acc
+    stopped = state.stopped
+    if ecfg.stop_ids:
+        stops = np.asarray(ecfg.stop_ids, np.int32)
+        hit = (cand_row[:, None] == stops[None, :]).any(-1) & (jnp.arange(D) < n_acc)
+        stopped = stopped | jnp.any(hit)
 
     # --- drafter extension over accepted rows ---
     j = jnp.arange(D)
@@ -265,6 +285,7 @@ def _verify_and_update(
         steps=state.steps + 1,
         accept_sum=state.accept_sum + n_acc,
         rng=state_rng,
+        stopped=stopped,
     )
     return state, root_hidden
 
@@ -509,6 +530,7 @@ def prefill_request(
         steps=jnp.zeros((), jnp.int32),
         accept_sum=jnp.zeros((), jnp.int32),
         rng=rng,
+        stopped=jnp.zeros((), bool),
     )
     return state, prefix_valid, offs
 
@@ -565,11 +587,20 @@ def generate(
         step = make_dynamic_step(ecfg, cfg, dcfg, ctx)
 
     def cond_fn(s: SpecState):
-        return (s.n_new < ecfg.max_new) & (s.steps < max_steps)
+        return (s.n_new < ecfg.max_new) & (s.steps < max_steps) & ~s.stopped
 
     state = jax.lax.while_loop(cond_fn, step, state)
+    toks = state.tokens[: ecfg.max_new]
+    n_valid = jnp.minimum(state.n_new, ecfg.max_new)
+    if ecfg.stop_ids:
+        stops = np.asarray(ecfg.stop_ids, np.int32)
+        hit = ((toks[:, None] == stops[None, :]).any(-1)
+               & (jnp.arange(ecfg.max_new) < n_valid))
+        n_valid = jnp.where(jnp.any(hit),
+                            jnp.argmax(hit).astype(jnp.int32) + 1, n_valid)
     return SpecResult(
-        tokens=state.tokens[: ecfg.max_new],
+        tokens=toks,
         steps=state.steps,
         accept_sum=state.accept_sum,
+        n_valid=n_valid,
     )

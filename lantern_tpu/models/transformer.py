@@ -278,6 +278,10 @@ def forward(
         cfg.use_flash_attention and prefix_override is None and nkv == nh
         and S % 128 == 0 and kv.group_width == GRP
         and S >= cfg.flash_min_seq
+        # the kernel holds the whole query block in VMEM — fine for decode
+        # blocks (trees <= ~64 rows, prompts <= a few hundred) but a
+        # full-sequence prefill block would blow the scoped-vmem limit
+        and T <= 512
         and jax.default_backend() == "tpu"
     )
     kv_quant = kv.quantized

@@ -57,6 +57,11 @@ class TrainConfig:
     # directly optimizing deep-level acceptance.
     rollout_depth: int = 1
     rollout_w: float = 0.5
+    # Chunked head loss: the soft-CE materializes [B, T, V] logits twice,
+    # which at Chameleon geometry (T~2400, V=65536) is gigabytes per batch
+    # row.  head_chunk > 0 computes the soft-CE/metrics in T-chunks under a
+    # rematerialized lax.scan (identical math, checked by test_training).
+    head_chunk: int = 0
 
 
 def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
@@ -85,10 +90,14 @@ class Metrics(NamedTuple):
 
 
 def drafter_teacher_forward(
-    dparams: dict, dcfg: DrafterConfig, rope, tokens, hidden, attn_valid
+    dparams: dict, dcfg: DrafterConfig, rope, tokens, hidden, attn_valid,
+    positions=None,
 ) -> jnp.ndarray:
     """Teacher-forced causal drafter forward over full sequences (no cache
-    reuse — training batches are independent)."""
+    reuse — training batches are independent).  ``positions`` [B, T]
+    overrides the default arange — Chameleon CFG pairs train with the
+    deployment position scheme (uncond rows restart at the image start,
+    cnets_anole.py:817-830)."""
     B, T = tokens.shape
     # dense attention only: this forward sits under value_and_grad and the
     # pallas flash kernel has no autodiff rule (training is full-sequence
@@ -98,10 +107,73 @@ def drafter_teacher_forward(
     x = drf.fuse_inputs(dparams, tokens, hidden)
     block = jnp.tril(jnp.ones((T, T), bool))[None] & attn_valid[:, None, :].astype(bool)
     res = tfm.forward(
-        dparams, mcfg, x, kv, jnp.arange(T), rope,
+        dparams, mcfg, x, kv,
+        jnp.arange(T) if positions is None else positions, rope,
         block_mask=block, commit=False,
     )
     return res.hidden
+
+
+def _soft_ce_and_topacc(out_head, tgt_head, m):
+    """Summed soft-CE and top-1/2/3 hit counts over one logits block.
+    ``m`` [B, C, 1] loss mask."""
+    tgt_p = jax.nn.softmax(tgt_head, axis=-1)
+    out_logp = jax.nn.log_softmax(out_head, axis=-1)
+    pl = -jnp.sum(m * jnp.sum(tgt_p * out_logp, -1, keepdims=True))
+    tgt_tok = jnp.argmax(tgt_head, axis=-1)
+    _, topk = jax.lax.top_k(out_head, 3)
+    hits = topk == tgt_tok[..., None]
+    mm = m[..., 0]
+    acc = jnp.stack(
+        [jnp.sum(mm * jnp.any(hits[..., : k + 1], -1)) for k in range(3)]
+    )
+    return pl, acc
+
+
+def _head_ce_sums(predict, target, mask, head, tcfg: TrainConfig):
+    """(soft-CE sum, top-acc counts [3]) for drafter hiddens vs teacher
+    hiddens through the frozen head — full-logits or T-chunked
+    (``tcfg.head_chunk``), bitwise-same math either way."""
+    if tcfg.head_chunk <= 0:
+        out_head = (predict @ head).astype(jnp.float32)
+        tgt_head = jax.lax.stop_gradient((target @ head).astype(jnp.float32))
+        m = mask
+        if tcfg.cfg_loss:
+            tgt_head = tgt_head[::2] + tcfg.cfg_scale * (tgt_head[::2] - tgt_head[1::2])
+            out_head = out_head[::2] + tcfg.cfg_scale * (out_head[::2] - out_head[1::2])
+            m = mask[::2]
+        return _soft_ce_and_topacc(out_head, tgt_head, m)
+
+    chunk = tcfg.head_chunk
+    B, T, H = predict.shape
+    pad = (-T) % chunk
+    if pad:
+        predict = jnp.pad(predict, ((0, 0), (0, pad), (0, 0)))
+        target = jnp.pad(target, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad), (0, 0)))
+    nc = (T + pad) // chunk
+
+    def to_chunks(a):
+        return a.reshape(B, nc, chunk, -1).transpose(1, 0, 2, 3)
+
+    xs = (to_chunks(predict), to_chunks(target), to_chunks(mask))
+
+    @jax.checkpoint
+    def body(carry, x):
+        pr, tg, m = x
+        out_head = (pr @ head).astype(jnp.float32)
+        tgt_head = jax.lax.stop_gradient((tg @ head).astype(jnp.float32))
+        if tcfg.cfg_loss:
+            tgt_head = tgt_head[::2] + tcfg.cfg_scale * (tgt_head[::2] - tgt_head[1::2])
+            out_head = out_head[::2] + tcfg.cfg_scale * (out_head[::2] - out_head[1::2])
+            m = m[::2]
+        pl, acc = _soft_ce_and_topacc(out_head, tgt_head, m)
+        return (carry[0] + pl, carry[1] + acc), None
+
+    (pl, acc), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((3,), jnp.float32)), xs
+    )
+    return pl, acc
 
 
 def loss_and_metrics(
@@ -112,8 +184,10 @@ def loss_and_metrics(
     batch: dict,
     tcfg: TrainConfig,
 ) -> tuple[jnp.ndarray, Metrics]:
+    positions = batch.get("positions")
     predict = drafter_teacher_forward(
-        dparams, dcfg, rope, batch["tokens"], batch["hidden"], batch["attn_valid"]
+        dparams, dcfg, rope, batch["tokens"], batch["hidden"],
+        batch["attn_valid"], positions=positions,
     )
     target = batch["target"]
     mask = batch["loss_mask"][..., None]                     # [B, T, 1]
@@ -121,19 +195,13 @@ def loss_and_metrics(
     vloss = jnp.sum(mask * jnp.mean(smooth_l1(predict, target), -1, keepdims=True))
     vloss = vloss / (jnp.sum(mask) + 1e-5)
 
-    out_head = (predict @ head).astype(jnp.float32)
-    tgt_head = jax.lax.stop_gradient((target @ head).astype(jnp.float32))
-    p_mask = mask
-    if tcfg.cfg_loss:
-        # rows alternate (cond, uncond); official-impl CFG combine
-        # (train_drafter/main.py:143-150)
-        tgt_head = tgt_head[::2] + tcfg.cfg_scale * (tgt_head[::2] - tgt_head[1::2])
-        out_head = out_head[::2] + tcfg.cfg_scale * (out_head[::2] - out_head[1::2])
-        p_mask = mask[::2]
-    tgt_p = jax.nn.softmax(tgt_head, axis=-1)
-    out_logp = jax.nn.log_softmax(out_head, axis=-1)
-    ploss = -jnp.sum(p_mask * jnp.sum(tgt_p * out_logp, -1, keepdims=True))
-    ploss = ploss / (jnp.sum(p_mask) + 1e-5)
+    # soft-CE + top-k metrics through the frozen head; rows alternate
+    # (cond, uncond) when cfg_loss combines them (train_drafter/main.py:
+    # 143-150).  head_chunk > 0 streams the [B, T, V] logits in chunks.
+    pl_sum, top_acc = _head_ce_sums(predict, target, mask, head, tcfg)
+    p_mask = mask[::2] if tcfg.cfg_loss else mask
+    n_mask = jnp.sum(p_mask)
+    ploss = pl_sum / (n_mask + 1e-5)
 
     loss = vloss + tcfg.p_w * ploss
 
@@ -141,7 +209,6 @@ def loss_and_metrics(
     # level d consumes (teacher token_{p+d-1}, drafter's own level-(d-1)
     # hidden at p) and matches the teacher head distribution d steps ahead.
     h_prev = predict
-    B, T, _ = predict.shape
 
     def shift_left(x, s):
         if s == 0:
@@ -150,40 +217,24 @@ def loss_and_metrics(
         pad[1] = (0, s)
         return jnp.pad(x[:, s:], pad)
 
-    base_tgt_head = jax.lax.stop_gradient(
-        (target @ head).astype(jnp.float32))
     for d in range(2, tcfg.rollout_depth + 1):
         tok_d = shift_left(batch["tokens"], d - 1)
         h_d = drafter_teacher_forward(
-            dparams, dcfg, rope, tok_d, h_prev, batch["attn_valid"]
+            dparams, dcfg, rope, tok_d, h_prev, batch["attn_valid"],
+            positions=positions,
         )
-        out_d = (h_d @ head).astype(jnp.float32)
-        tgt_d = shift_left(base_tgt_head, d - 1)
+        tgt_d = shift_left(target, d - 1)
         # valid where the whole d-step window sits inside the loss region
         m_d = batch["loss_mask"] * shift_left(batch["loss_mask"], d - 1)
-        m_d = m_d[..., None]
-        if tcfg.cfg_loss:
-            tgt_d = tgt_d[::2] + tcfg.cfg_scale * (tgt_d[::2] - tgt_d[1::2])
-            out_d = out_d[::2] + tcfg.cfg_scale * (out_d[::2] - out_d[1::2])
-            m_d = m_d[::2]
-        pl_d = -jnp.sum(m_d * jnp.sum(
-            jax.nn.softmax(tgt_d, -1) * jax.nn.log_softmax(out_d, -1),
-            -1, keepdims=True))
-        pl_d = pl_d / (jnp.sum(m_d) + 1e-5)
+        pl_d, _ = _head_ce_sums(h_d, tgt_d, m_d[..., None], head, tcfg)
+        m_dn = m_d[::2] if tcfg.cfg_loss else m_d
+        pl_d = pl_d / (jnp.sum(m_dn) + 1e-5)
         loss = loss + tcfg.p_w * (tcfg.rollout_w ** (d - 1)) * pl_d
         h_prev = h_d
 
-    # top-k accuracy vs the teacher argmax (train_drafter/main.py:71-100)
-    tgt_tok = jnp.argmax(tgt_head, axis=-1)
-    _, topk = jax.lax.top_k(out_head, 3)
-    hits = topk == tgt_tok[..., None]                        # [B', T, 3]
-    m = p_mask[..., 0]
-    top_acc = jnp.stack(
-        [jnp.sum(m * jnp.any(hits[..., : k + 1], -1)) for k in range(3)]
-    )
     metrics = Metrics(
         loss=loss, vloss=vloss, ploss=ploss,
-        correct=top_acc[0], top_acc=top_acc, total=jnp.sum(m),
+        correct=top_acc[0], top_acc=top_acc, total=n_mask,
     )
     return loss, metrics
 

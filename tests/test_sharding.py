@@ -163,3 +163,53 @@ def test_kv_specs_shard_and_read_back(setup, quantized):
              else c.k.astype(jnp.float32))
         return np.asarray(ungroup_cache(k, cfg.num_kv_heads, cfg.head_dim))
     np.testing.assert_array_equal(values(sharded), values(kv))
+
+
+def test_serving_engine_on_mesh_scheduler_driven(setup):
+    """The full serving stack on the (dp=2, tp=4) mesh: Scheduler +
+    BatchedEngine with requests sharded over dp (engine mesh=...), base
+    params/KV over tp, drafter replicated — token-identical to the
+    single-device scheduler run, slot axis verifiably dp-sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lantern_tpu.engine.batch import BatchedEngine
+    from lantern_tpu.engine.scheduler import Request, Scheduler
+
+    cfg, dcfg, params, dparams = setup
+    ecfg = spec_engine.SpecDecodeConfig(
+        warp=LogitsWarp(temperature=0.0), cfg_scale=2.0, max_new=10,
+        mode="static",
+    )
+    tree = trees.get_tree("mc_sim_7b_63")
+    labels = [3, 5, 7, 2, 6, 1]      # 6 requests through 4 slots: slot reuse
+
+    def reqs():
+        return [Request(uid=i, cond=jnp.asarray([l]),
+                        uncond=jnp.asarray([cfg.num_classes]), seed=40 + i)
+                for i, l in enumerate(labels)]
+
+    ref_eng = BatchedEngine(ecfg, cfg, dcfg, tree, params, dparams,
+                            num_slots=4)
+    ref = Scheduler(ref_eng, use_native=False).run(reqs())
+
+    mesh = pmesh.make_mesh(8, dp=2)
+    sp = pmesh.shard_pytree(params, pmesh.base_param_specs(cfg, mesh), mesh)
+    sd = pmesh.shard_pytree(dparams, pmesh.drafter_param_specs(dparams), mesh)
+    with jax.set_mesh(mesh):
+        eng = BatchedEngine(ecfg, cfg, dcfg, tree, sp, sd, num_slots=4,
+                            mesh=mesh)
+        # placement probe: the empty batch's slot axis is dp-sharded
+        proto = eng.prefill(jnp.asarray([3]), jnp.asarray([cfg.num_classes]),
+                            jax.random.key(0))
+        batch = eng.empty_batch(proto)
+        want = NamedSharding(mesh, P("dp", None))
+        assert batch[0].n_new.sharding.is_equivalent_to(want, 1)
+        # and a step preserves it
+        stepped = eng.step(eng.insert(batch, 0, proto))
+        assert stepped[0].n_new.sharding.is_equivalent_to(
+            want, 1), stepped[0].n_new.sharding
+
+        got = Scheduler(eng, use_native=False).run(reqs())
+    for a, b in zip(got, ref):
+        assert a.uid == b.uid and a.error is None
+        np.testing.assert_array_equal(a.tokens, b.tokens)

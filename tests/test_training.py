@@ -158,3 +158,52 @@ def test_rollout_training_decreases_loss(setup):
         state, m = dt.train_step(state, dcfg, tcfg, rope, head, batch, k)
         losses.append(float(m.loss))
     assert losses[-1] < losses[0] * 0.8
+
+
+def test_head_chunk_matches_full(setup):
+    """Chunked soft-CE (TrainConfig.head_chunk) must be bitwise-equivalent
+    math to the full-logits path: loss, metrics, and one optimizer step."""
+    cfg, dcfg, params, dparams, rope = setup
+    head = params["lm_head"]
+    batch = synth_batch(cfg, B=4, T=12, seed=3)
+    for cfg_loss in (False, True):
+        t_full = dt.TrainConfig(lr=1e-3, noise="none", cfg_loss=cfg_loss,
+                                head_chunk=0)
+        t_chunk = dt.TrainConfig(lr=1e-3, noise="none", cfg_loss=cfg_loss,
+                                 head_chunk=5)   # non-divisor: exercises pad
+        lf, mf = dt.loss_and_metrics(dparams, dcfg, rope, head, batch, t_full)
+        lc, mc = dt.loss_and_metrics(dparams, dcfg, rope, head, batch, t_chunk)
+        np.testing.assert_allclose(float(lf), float(lc), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(mf.top_acc),
+                                   np.asarray(mc.top_acc), rtol=1e-6)
+        np.testing.assert_allclose(float(mf.ploss), float(mc.ploss), rtol=1e-5)
+        # gradients agree -> one train_step lands on the same params
+        sf = dt.init_train_state(dparams, t_full)
+        sc = dt.init_train_state(dparams, t_chunk)
+        k = jax.random.key(0)
+        sf, _ = dt.train_step(sf, dcfg, t_full, rope, head, batch, k)
+        sc, _ = dt.train_step(sc, dcfg, t_chunk, rope, head, batch, k)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+            sf.dparams, sc.dparams)
+
+
+def test_positions_override_changes_forward(setup):
+    """batch["positions"] must reach the drafter forward (deployment uncond
+    rows restart at the image start).  Random-init q/k scores are near-zero
+    (softmax ~uniform regardless of rope), so boost wq/wk to make position
+    rotations visible in the output."""
+    cfg, dcfg, params, dparams, rope = setup
+    dp = dict(dparams, layers=dict(dparams["layers"]))
+    for k in ("wq", "wk"):
+        dp["layers"][k] = dparams["layers"][k] * 40.0
+    batch = synth_batch(cfg, B=2, T=10, seed=4)
+    tcfg = dt.TrainConfig(noise="none")
+    _, m0 = dt.loss_and_metrics(dp, dcfg, rope, params["lm_head"],
+                                batch, tcfg)
+    shifted = dict(batch, positions=jnp.flip(
+        jnp.broadcast_to(jnp.arange(10)[None, :], (2, 10)), axis=1))
+    _, m1 = dt.loss_and_metrics(dp, dcfg, rope, params["lm_head"],
+                                shifted, tcfg)
+    assert abs(float(m0.loss) - float(m1.loss)) > 1e-6
