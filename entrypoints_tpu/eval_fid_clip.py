@@ -31,11 +31,18 @@ def build_parser():
     p.add_argument("--eval_res", type=int, default=256)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--feature-extractor", default="hf_clip",
-                   choices=["hf_clip", "inception"],
-                   help="FID feature space (cleanfid clip_vit_b_32 / inception_v3)")
+                   choices=["hf_clip", "inception", "fid_inception"],
+                   help="FID feature space: cleanfid clip_vit_b_32 (hf_clip) "
+                        "/ torchvision inception / fid_inception = the "
+                        "PINNED backbone (first-party JAX port of the "
+                        "clean-fid pool3 network + clean bicubic resize)")
     p.add_argument("--clip-model-dir", default=None,
                    help="local HF CLIP checkpoint dir (zero-egress replacement "
                         "for openai ViT-B/32 download)")
+    p.add_argument("--inception-ckpt", default=None,
+                   help="path to the canonical pt_inception-2015-12-05 .pth "
+                        "(or same-key .npz) for --feature-extractor "
+                        "fid_inception")
     p.add_argument("--skip-clip-score", action="store_true")
     p.add_argument("--device", default="cpu")
     return p
@@ -56,7 +63,7 @@ def main(argv=None):
     # CLIP scoring only works off CLIP embeddings; with the inception
     # extractor it is skipped loudly, not silently
     want_clip = not args.skip_clip_score
-    if want_clip and args.feature_extractor == "inception":
+    if want_clip and args.feature_extractor in ("inception", "fid_inception"):
         print("warning: CLIP score needs --feature-extractor hf_clip; "
               "skipping it")
         want_clip = False
@@ -65,9 +72,19 @@ def main(argv=None):
                  or want_clip)
     extractor = None
     if needs_net:
+        kind = (args.feature_extractor
+                if args.feature_extractor in ("inception", "fid_inception")
+                else "hf_clip")
+        if kind == "fid_inception" and args.inception_ckpt is None:
+            raise SystemExit(
+                "fid_inception needs --inception-ckpt (the canonical "
+                "pt_inception-2015-12-05-6726825d.pth; random weights are "
+                "test-only)")
         extractor = F.make_extractor(
-            "inception" if args.feature_extractor == "inception" else "hf_clip",
-            model_dir=args.clip_model_dir, device=args.device)
+            kind,
+            model_dir=(args.inception_ckpt if kind == "fid_inception"
+                       else args.clip_model_dir),
+            device=args.device)
 
     fake_feats = F.extract_dir_features(
         args.fake_dir, extractor, resize=args.eval_res,

@@ -30,8 +30,14 @@ def build_parser():
     p.add_argument("--fname_precalc", default="",
                    help="save the reference manifold to this .npz and exit")
     p.add_argument("--feature-extractor", default="vgg16",
-                   choices=["vgg16", "hf_clip"])
+                   choices=["vgg16", "vgg16_jax", "hf_clip"],
+                   help="vgg16_jax = the pinned backbone (first-party JAX "
+                        "port of torchvision vgg16 fc2, evals/vgg.py); pass "
+                        "the canonical vgg16 .pth via --vgg-ckpt")
     p.add_argument("--clip-model-dir", default=None)
+    p.add_argument("--vgg-ckpt", default=None,
+                   help="torchvision vgg16 .pth for --feature-extractor "
+                        "vgg16_jax")
     p.add_argument("--eval_res", type=int, default=224)
     p.add_argument("--device", default="cpu")
     return p
@@ -57,8 +63,15 @@ def main(argv=None):
     needs_net = not args.ref_dir.endswith(".npz") or (
         args.fake_dir is not None and not args.fake_dir.endswith(".npz"))
     if needs_net:
+        if args.feature_extractor == "vgg16_jax" and args.vgg_ckpt is None:
+            raise SystemExit("vgg16_jax needs --vgg-ckpt (the canonical "
+                             "torchvision vgg16 .pth; random weights are "
+                             "test-only)")
         extractor = F.make_extractor(
-            args.feature_extractor, model_dir=args.clip_model_dir,
+            args.feature_extractor,
+            model_dir=(args.vgg_ckpt
+                       if args.feature_extractor == "vgg16_jax"
+                       else args.clip_model_dir),
             device=args.device)
 
     ref_m = _manifold_from(args.ref_dir, args, extractor)

@@ -182,6 +182,19 @@ def make_extractor(kind: str, model_dir: Optional[str] = None,
         if not model_dir:
             raise ValueError("hf_clip extractor needs --clip-model-dir")
         return HFClipExtractor(model_dir, device=device)
+    if kind == "fid_inception":
+        # the pinned FID backbone: first-party JAX port of the clean-fid /
+        # pytorch-fid Inception-V3 pool3 network (evals/inception.py);
+        # model_dir = path to the canonical pt_inception-2015-12-05 .pth
+        from .inception import InceptionExtractor
+
+        return InceptionExtractor(weights=model_dir)
+    if kind == "vgg16_jax":
+        # the pinned precision/recall backbone: torchvision-vgg16 fc2
+        # features (evals/vgg.py); model_dir = path to the canonical .pth
+        from .vgg import VGGExtractor
+
+        return VGGExtractor(weights=model_dir)
     if kind in ("vgg16", "inception"):
         return TorchvisionExtractor(kind, device=device)
     raise ValueError(f"unknown extractor {kind}")

@@ -114,12 +114,20 @@ def main():
             jax.random.randint(key, (TEXT_LEN,), 60000, 64000)))
         return cham.lumina_token_prompt(text, grid=(GRID, GRID))
 
-    # dense attention for the vmapped sampler: the pallas flash kernel has
-    # no batching rule (the serving engine routes batching through its own
-    # custom_vmap kv path), and dense-under-vmap is pure XLA
+    # sample-batch > 1 vmaps the AR loop with dense attention (the pallas
+    # flash kernel has no batching rule); batch 1 keeps the proven
+    # single-request flash path (exactly the bench lumina AR configuration).
+    # The batch-4 dense variant crashed the TPU worker at 7B geometry
+    # (KV 4x2 rows + dense transients), so 1 is the full-scale default.
     cfg_sample = dataclasses.replace(cfg, use_flash_attention=False)
 
     def sample_many(tps, rngs):
+        if len(tps) == 1:
+            res = ar.generate_tokens(params, cfg, tps[0], MAX_NEW, 3.0,
+                                     warp, rngs[0], logits_fn=fsm,
+                                     kv_quant=True)
+            return res.tokens[None]
+
         def one(tp_tokens, rng):
             tp = tps[0]._replace(tokens=tp_tokens)
             res = ar.generate_tokens(params, cfg_sample, tp, MAX_NEW, 3.0,

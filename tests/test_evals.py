@@ -187,3 +187,153 @@ class TestCLI:
                        "--prompt_path", pp])
         assert r.returncode != 0
         assert "clip-model-dir" in (r.stdout + r.stderr)
+
+
+class TestFIDInception:
+    """The pinned FID backbone (evals/inception.py): structural census of the
+    canonical pt_inception checkpoint, the Inception-V3 spatial trace, the
+    clean-fid float-bicubic resize, and FID through the full extractor."""
+
+    def test_state_dict_census(self):
+        from lantern_tpu.evals import inception as inc
+
+        exp = inc.expected_state_dict_shapes()
+        convs = [k for k in exp if k.endswith("conv.weight")]
+        # Inception-V3 pool3 has exactly 94 convolutions:
+        # 5 stem + 3 blocks A (7 each) + B (4) + 4 blocks C (10 each)
+        # + D (6) + 2 blocks E (9 each)
+        assert len(convs) == 94
+        assert len(exp) == 94 * 5
+        # spot-pin canonical names/shapes (torchvision inception_v3 layout)
+        assert exp["Conv2d_1a_3x3.conv.weight"] == (32, 3, 3, 3)
+        assert exp["Mixed_5b.branch5x5_2.conv.weight"] == (64, 48, 5, 5)
+        assert exp["Mixed_6b.branch7x7_2.conv.weight"] == (128, 128, 1, 7)
+        assert exp["Mixed_7a.branch3x3_2.conv.weight"] == (320, 192, 3, 3)
+        assert exp["Mixed_7c.branch3x3dbl_3b.conv.weight"] == (384, 384, 3, 1)
+        assert exp["Mixed_7c.branch_pool.conv.weight"] == (192, 2048, 1, 1)
+
+    def test_converter_strictness(self):
+        from lantern_tpu.evals import inception as inc
+
+        rng = np.random.default_rng(0)
+        sd = {k: rng.normal(size=s).astype(np.float32)
+              for k, s in inc.expected_state_dict_shapes().items()}
+        sd["fc.weight"] = rng.normal(size=(1008, 2048)).astype(np.float32)
+        sd["AuxLogits.conv0.conv.weight"] = np.zeros((128, 768, 1, 1), np.float32)
+        p = inc.params_from_torch(sd)          # extra keys ignored
+        assert p["Conv2d_1a_3x3"]["w"].shape == (3, 3, 3, 32)   # HWIO
+        bad = dict(sd)
+        del bad["Mixed_6e.branch_pool.bn.running_var"]
+        with pytest.raises(ValueError, match="missing"):
+            inc.params_from_torch(bad)
+
+    def test_spatial_trace_and_features(self):
+        from lantern_tpu.evals import inception as inc
+
+        params = inc.init_random_params()
+        dims = inc.spatial_trace(params)
+        # the canonical Inception-V3 trace at 299 input
+        assert dims[0] == (149, 149, 32)
+        assert dims[3] == (73, 73, 64)
+        assert dims[5] == (71, 71, 192)
+        assert dims[6] == (35, 35, 192)
+        assert dims[7] == (35, 35, 256)      # Mixed_5b
+        assert dims[9] == (35, 35, 288)      # Mixed_5d
+        assert dims[10] == (17, 17, 768)     # Mixed_6a
+        assert dims[15] == (8, 8, 1280)      # Mixed_7a
+        assert dims[16] == (8, 8, 2048)      # Mixed_7b
+        assert dims[17] == (8, 8, 2048)      # Mixed_7c
+        feats = inc.pool3_features(
+            params, np.zeros((2, 299, 299, 3), np.float32))
+        assert feats.shape == (2, 2048)
+        assert np.isfinite(np.asarray(feats)).all()
+
+    def test_clean_resize_is_float_bicubic(self):
+        from PIL import Image
+
+        from lantern_tpu.evals.inception import clean_resize
+
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)
+        out = clean_resize(img, size=8)
+        assert out.shape == (8, 8, 3) and out.dtype == np.float32
+        # per-channel 'F'-mode PIL bicubic, bit-exact
+        ref = np.stack([
+            np.asarray(Image.fromarray(img[..., c].astype(np.float32),
+                                       mode="F").resize((8, 8),
+                                                        Image.BICUBIC))
+            for c in range(3)], axis=-1)
+        np.testing.assert_array_equal(out, ref)
+        # float path keeps out-of-uint8 precision (the "clean" fix): a
+        # constant image stays exactly constant
+        const = np.full((31, 31, 3), 101.5, np.float32)
+        np.testing.assert_allclose(clean_resize(const, 8), 101.5, rtol=1e-6)
+
+    def test_fid_through_extractor(self, tmp_path):
+        from PIL import Image
+
+        from lantern_tpu.evals import features as F
+        from lantern_tpu.evals import metrics as M
+
+        rng = np.random.default_rng(2)
+        for d in ("a", "b"):
+            (tmp_path / d).mkdir()
+            for i in range(3):
+                arr = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+                Image.fromarray(arr).save(tmp_path / d / f"{i}.png")
+        ex = F.make_extractor("fid_inception")       # random weights
+        fa = F.extract_dir_features(str(tmp_path / "a"), ex, batch=2)
+        fb = F.extract_dir_features(str(tmp_path / "b"), ex, batch=2)
+        assert fa.shape == (3, 2048)
+        assert M.fid_from_features(fa, fa) < 1e-4
+        assert M.fid_from_features(fa, fb) > 0
+
+
+class TestVGG16Backbone:
+    """Pinned precision/recall backbone (evals/vgg.py): torchvision vgg16
+    census, fc2 extraction shape, manifold round trip."""
+
+    def test_census_matches_torchvision_vgg16(self):
+        from lantern_tpu.evals import vgg
+
+        exp = vgg.expected_state_dict_shapes()
+        convs = [k for k in exp if k.startswith("features.")
+                 and k.endswith(".weight")]
+        assert len(convs) == 13                  # VGG16 = 13 convs + 3 FC
+        # canonical torchvision indices: conv layers at these slots
+        idxs = sorted(int(k.split(".")[1]) for k in convs)
+        assert idxs == [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+        assert exp["features.0.weight"] == (64, 3, 3, 3)
+        assert exp["features.28.weight"] == (512, 512, 3, 3)
+        assert exp["classifier.0.weight"] == (4096, 25088)
+        assert exp["classifier.3.weight"] == (4096, 4096)
+
+    def test_fc2_extraction_and_manifold(self, tmp_path):
+        from PIL import Image
+
+        from lantern_tpu.evals import features as F
+        from lantern_tpu.evals import metrics as M
+
+        rng = np.random.default_rng(3)
+        (tmp_path / "imgs").mkdir()
+        for i in range(4):
+            arr = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(tmp_path / "imgs" / f"{i}.png")
+        ex = F.make_extractor("vgg16_jax")      # random weights
+        feats = F.extract_dir_features(str(tmp_path / "imgs"), ex, batch=2)
+        assert feats.shape == (4, 4096)
+        assert np.isfinite(feats).all()
+        # distinct inputs -> distinct features (wiring is input-sensitive)
+        assert np.abs(feats[0] - feats[1]).max() > 1e-4
+        pr = M.precision_recall(feats, feats, k=2)
+        assert pr.precision == 1.0 and pr.recall == 1.0
+
+    def test_converter_missing_key(self):
+        from lantern_tpu.evals import vgg
+
+        rng = np.random.default_rng(0)
+        sd = {k: rng.normal(size=s).astype(np.float32)
+              for k, s in vgg.expected_state_dict_shapes().items()}
+        del sd["features.12.bias"]
+        with pytest.raises(ValueError, match="missing"):
+            vgg.params_from_torch(sd)
