@@ -52,6 +52,15 @@ def main():
     LK = int(os.environ.get("BENCH_LANTERN_K", 10))
     LD = float(os.environ.get("BENCH_LANTERN_DELTA", 5.0))
 
+    # compiled-Mosaic kernel parity on the real chip BEFORE timing anything:
+    # a kernel regression must fail the bench loudly, not ship as a silent
+    # perf/accuracy shift (the interpret-mode CI tests can't cover Mosaic)
+    if os.environ.get("BENCH_SELFTEST", "1") == "1":
+        from lantern_tpu.ops.pallas.selftest import run_kernel_selftest
+
+        errs = run_kernel_selftest()
+        note(f"kernel selftest OK: {errs}")
+
     cfg = configs.llamagen_config(size, "t2i", image_tokens=IMAGE_TOKENS)
     drafter_ckpt_probe = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),

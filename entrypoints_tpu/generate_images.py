@@ -33,6 +33,11 @@ def add_args(p):
     p.add_argument("--start-idx", type=int, default=0)
     p.add_argument("--end-idx", type=int, default=10 ** 9)
     p.add_argument("--output-dir", default="out")
+    p.add_argument("--target-size", default=None,
+                   help="Lumina output resolution in pixels, 'S' or 'WxH' "
+                        "(reference eagle_inference_solver.py:244); maps to "
+                        "the latent grid at 16 px/latent — e.g. 768 -> 48x48,"
+                        " 512x768 -> h48 w32.  Default 768.")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top-k", type=int, default=2000)
     p.add_argument("--top-p", type=float, default=1.0)
@@ -91,6 +96,15 @@ def build_session(args):
     if args.model in ("anole", "lumina_mgpt"):
         family = "anole" if args.model == "anole" else "lumina"
         grid = (32, 32) if family == "anole" else (48, 48)
+        ts = getattr(args, "target_size", None)
+        if ts and family == "lumina":
+            # pixels -> latents (16 px/latent, item_processor crop sizes);
+            # 'WxH' order matches the reference's (w, h) target_size tuple
+            if "x" in ts:
+                w_px, h_px = (int(v) for v in ts.lower().split("x"))
+            else:
+                w_px = h_px = int(ts)
+            grid = (h_px // 16, w_px // 16)
         cfg = configs.chameleon_7b_config(swin_norm=family == "lumina")
         total = getattr(args, "total_tokens", 59)
         dcfg = configs.drafter_config(cfg, total_tokens=max(total, 2),

@@ -388,7 +388,7 @@ class ChameleonSession:
         (reference inference_solver.py:474-499)."""
         return self.item_processor.decode_ids(list(np.asarray(tokens)))
 
-    def decode_generated(self, tokens) -> np.ndarray:
+    def decode_generated(self, tokens, grid=None) -> np.ndarray:
         """Raw ``generate()`` output (no image start/end wrappers) -> one
         uint8 image.  Anole emits exactly h*w image BPE ids; Lumina emits
         grid rows with per-row newline tokens and a trailing image-end."""
@@ -396,7 +396,7 @@ class ChameleonSession:
 
         if self.vq_params is None:
             raise ValueError("session has no VQ codec loaded")
-        h, w = self.grid
+        h, w = grid or self.grid
         toks = np.asarray(tokens).reshape(-1)
         if self.family == "lumina":
             body = toks[: h * (w + 1)].reshape(h, w + 1)[:, :w]
@@ -426,6 +426,7 @@ class ChameleonSession:
         kv_quant: bool = False,
         warp_order: str = "hf",
         progress: bool = False,
+        grid=None,
     ):
         """Continuous-batching generation over token/text prompts (the
         reference's vLLM data-gen role, vllm_inference_solver.py:243-343).
@@ -442,7 +443,7 @@ class ChameleonSession:
         if self.dparams is None:
             raise ValueError("batched serving needs a drafter")
         cfg = self.cfg
-        h, w = self.grid
+        h, w = grid or self.grid
         if max_new is None:
             max_new = h * w if self.family == "anole" else h * (w + 1) + 1
         warp = LogitsWarp(temperature=temperature, top_k=top_k, top_p=top_p,
@@ -453,7 +454,7 @@ class ChameleonSession:
         lens = set()
         for i, p in enumerate(prompts):
             try:
-                tp = self._prompt(p)
+                tp = self._prompt(p, grid=grid)
                 lens.add(int(tp.tokens.shape[1]))
                 reqs.append(Request(uid=i, token_prompt=tp, seed=seed + i))
             except Exception as e:  # noqa: BLE001
@@ -504,7 +505,7 @@ class ChameleonSession:
         return cls(cfg=cfg, dcfg=dcfg, params=params, dparams=dparams,
                    family=family, grid=grid, tokenizer=hash_tokenize)
 
-    def _prompt(self, text_or_tokens):
+    def _prompt(self, text_or_tokens, grid=None):
         from ..models import chameleon as cham
 
         if isinstance(text_or_tokens, str):
@@ -518,7 +519,7 @@ class ChameleonSession:
             text_tokens = list(text_or_tokens)
         if self.family == "anole":
             return cham.anole_token_prompt(text_tokens)
-        return cham.lumina_token_prompt(text_tokens, grid=self.grid)
+        return cham.lumina_token_prompt(text_tokens, grid=grid or self.grid)
 
     def generate(
         self,
@@ -538,6 +539,9 @@ class ChameleonSession:
         warp_order: str = "hf",   # "ar" = reference vanilla-AR order
         stop_ids=None,            # EOS-terminated interleaved generation
         logits_fn="auto",         # custom logits processor; "auto" = family
+        grid=None,                # per-call (h, w) latent grid override
+        #   (Lumina multi-resolution: reference target_size,
+        #   eagle_inference_solver.py:244; each grid compiles once)
     ):
         """Generate one stream.  Default mode is fixed-budget image
         generation (non-image tokens suppressed / grid FSM enforced).
@@ -553,12 +557,12 @@ class ChameleonSession:
         from ..models import chameleon as cham
 
         cfg = self.cfg
-        h, w = self.grid
+        h, w = grid or self.grid
         if max_new is None:
             max_new = h * w if self.family == "anole" else h * (w + 1) + 1
         warp = LogitsWarp(temperature=temperature, top_k=top_k, top_p=top_p,
                           warp_order=warp_order)
-        tp = self._prompt(text_tokens)
+        tp = self._prompt(text_tokens, grid=grid)
         stop_ids = tuple(stop_ids) if stop_ids else ()
         mask = (None if stop_ids else
                 jnp.asarray(cham.non_image_token_mask(cfg.vocab_size)))

@@ -1,0 +1,101 @@
+"""Compiled-kernel parity selftest for the real TPU backend.
+
+The CI suite proves kernel semantics in pallas interpret mode on CPU
+(tests/test_tree_attention_kernel.py, test_kv_write.py, test_quant.py); the
+*compiled Mosaic* paths only run where a chip exists.  This module re-runs
+the three hot-kernel parity checks on whatever backend is active and raises
+on divergence — bench.py runs it before timing anything, so a Mosaic
+regression fails the bench loudly instead of shipping as a silent
+perf/accuracy shift.
+
+Run standalone:  python -m lantern_tpu.ops.pallas.selftest
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def run_kernel_selftest(verbose: bool = False) -> dict:
+    """Returns {check: max_abs_err}; raises AssertionError on divergence."""
+    import jax
+    import jax.numpy as jnp
+
+    from ...kv import group_cache
+    from ..quant import int8_matmul, int8_matmul_pallas, quantize_weight
+    from . import kv_update as kvu
+    from . import tree_attention as ta
+
+    on_tpu = jax.default_backend() == "tpu"
+    interpret = not on_tpu
+    errs: dict = {"backend": jax.default_backend()}
+    rng = np.random.default_rng(0)
+
+    # --- 1. flash tree-attention vs dense reference -----------------------
+    B, T, nh, hd, S, length = 2, 16, 4, 64, 512, 137
+    q = jnp.asarray(rng.normal(size=(B, T, nh, hd)), jnp.bfloat16)
+    kn = jnp.asarray(rng.normal(size=(B, T, nh, hd)), jnp.bfloat16)
+    vn = jnp.asarray(rng.normal(size=(B, T, nh, hd)), jnp.bfloat16)
+    kc = jnp.asarray(rng.normal(size=(B, S, nh, hd)), jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(B, S, nh, hd)), jnp.bfloat16)
+    mask = jnp.asarray((rng.random((T, T)) < 0.4) | np.eye(T, dtype=bool))
+    bias = np.zeros((B, S), np.float32)
+    bias[0, :7] = ta.NEG_INF
+    bias = jnp.asarray(bias)
+    scale = hd ** -0.5
+    ref = ta.tree_attention_reference(q, kn, vn, kc, vc,
+                                      jnp.asarray(length), mask, bias, scale)
+    got = ta.tree_attention(q, kn, vn, group_cache(kc), group_cache(vc),
+                            jnp.asarray(length), mask, bias, scale,
+                            blk=128, interpret=interpret)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    errs["tree_attention"] = err
+    assert err < 3e-2, f"tree_attention kernel diverged: {err}"
+
+    # --- 2. in-place KV write + rollback gather vs XLA dus/gather --------
+    L, G, W = 4, 2, 128
+    shape = (L, B, G, S, W)
+    k_buf = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+    v_buf = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+    Tn = 24
+    k_new = jnp.asarray(rng.normal(size=(L, B, G, Tn, W)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.normal(size=(L, B, G, Tn, W)), jnp.bfloat16)
+    start = jnp.asarray(200, jnp.int32)
+    ko, vo = kvu.write_block(k_buf, v_buf, k_new, v_new, start,
+                             interpret=interpret)
+    ref_k = jax.lax.dynamic_update_slice(k_buf, k_new, (0, 0, 0, 200, 0))
+    err = float(jnp.max(jnp.abs(ko.astype(jnp.float32)
+                                - ref_k.astype(jnp.float32))))
+    errs["kv_write"] = err
+    assert err == 0.0, f"kv write kernel diverged: {err}"
+
+    rel = jnp.asarray([3, 0, 7, 7, 1], jnp.int32)
+    ko2, _ = kvu.gather_write_block(ko, vo, rel, start, blk=32,
+                                    interpret=interpret)
+    idx = 200 + np.asarray(rel)
+    ref_rows = ref_k[:, :, :, idx, :]
+    got_rows = ko2[:, :, :, 200:205, :]
+    err = float(jnp.max(jnp.abs(got_rows.astype(jnp.float32)
+                                - ref_rows.astype(jnp.float32))))
+    errs["kv_rollback"] = err
+    assert err == 0.0, f"kv rollback kernel diverged: {err}"
+
+    # --- 3. pallas dequant-matmul vs the XLA fused form -------------------
+    K, N = 256, 512
+    x = jnp.asarray(rng.normal(size=(8, K)), jnp.bfloat16)
+    wq, ws = quantize_weight(jnp.asarray(rng.normal(size=(K, N)), jnp.float32))
+    ref = int8_matmul(x, wq, ws)
+    got = int8_matmul_pallas(x, wq, ws, interpret=interpret)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    errs["int8_matmul"] = err
+    assert err < 1e-1, f"int8 dequant-matmul diverged: {err}"
+
+    if verbose:
+        print("kernel selftest:", errs)
+    return errs
+
+
+if __name__ == "__main__":
+    print(run_kernel_selftest(verbose=True))

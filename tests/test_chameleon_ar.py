@@ -83,3 +83,29 @@ class TestLuminaBaseMode:
         b, _ = sess.generate([8], max_new=max_new, temperature=0.0,
                              mode="static", tree="chain", seed=1)
         np.testing.assert_array_equal(a[:max_new], b[:max_new])
+
+
+class TestMultiResolution:
+    """Per-call grid override (Lumina multi-resolution, reference
+    target_size eagle_inference_solver.py:244): one session serves several
+    grids; each obeys its own grammar and matches a dedicated session."""
+
+    def test_grid_override_grammar_and_parity(self):
+        sess = _session("lumina", grid=(2, 3))
+        # call-time override to a DIFFERENT, non-square grid (h=4, w=2)
+        h, w = 4, 2
+        toks, _ = sess.generate([7, 8], temperature=0.0, cfg_scale=2.0,
+                                mode="ar", grid=(h, w))
+        assert len(toks) == h * (w + 1) + 1
+        body = toks[: h * (w + 1)].reshape(h, w + 1)
+        assert (body[:, w] == FSM_IDS["newline_id"]).all()
+        assert toks[-1] == FSM_IDS["image_end_id"]
+        # a session built at that grid produces the identical stream
+        sess2 = _session("lumina", grid=(h, w))
+        toks2, _ = sess2.generate([7, 8], temperature=0.0, cfg_scale=2.0,
+                                  mode="ar")
+        np.testing.assert_array_equal(toks, toks2)
+        # spec path at the overridden grid agrees with AR
+        toks3, _ = sess.generate([7, 8], temperature=0.0, cfg_scale=2.0,
+                                 mode="static", tree="chain", grid=(h, w))
+        np.testing.assert_array_equal(toks, toks3)

@@ -118,3 +118,15 @@ def test_flash_forward_matches_dense_forward():
     flash = run(fcfg)
     for i, (a, b) in enumerate(zip(dense, flash)):
         np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3, err_msg=f"stage {i}")
+
+
+def test_kernel_selftest_interpret():
+    """The bench's pre-flight kernel-parity lane (ops/pallas/selftest.py):
+    interpret mode here; the compiled-Mosaic execution path is
+    ``BENCH_SELFTEST=1 python bench.py`` (default on) or
+    ``python -m lantern_tpu.ops.pallas.selftest`` on a chip."""
+    from lantern_tpu.ops.pallas.selftest import run_kernel_selftest
+
+    errs = run_kernel_selftest()
+    assert set(errs) >= {"tree_attention", "kv_write", "kv_rollback",
+                         "int8_matmul"}
