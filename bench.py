@@ -273,6 +273,15 @@ def main():
         note(f"batched AR phase skipped: {type(e).__name__}: {e}")
     batched_tps = max(filter(None, (batched_spec_tps, batched_ar_tps)),
                       default=None)
+    # frozen-reference ratio (scripts/record_pinned_baseline.py): measured
+    # once against bf16 vanilla AR and committed, so progress is visible
+    # without the moving-own-AR denominator
+    pinned = None
+    pin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "ckpts/pinned_baseline.json")
+    if os.path.exists(pin_path) and size == "XL" and IMAGE_TOKENS == 256:
+        with open(pin_path) as f:
+            pinned = json.load(f)["tokens_per_s"]
     out = {
         "metric": (
             f"image_tokens_per_s_per_chip (LlamaGen-{size} t2i {IMAGE_TOKENS}tok, "
@@ -297,6 +306,9 @@ def main():
                                           if batched_spec_tps else None),
             "batched_ar_tokens_per_s": (round(batched_ar_tps, 2)
                                         if batched_ar_tps else None),
+            "pinned_ar_tokens_per_s": pinned,
+            "vs_pinned_ar": (round(toks_per_s / pinned, 3)
+                             if pinned else None),
             "weights": QUANT + (
                 ":" + os.environ.get("LANTERN_INT8_IMPL", "xla")
                 if QUANT == "int8" else ""),

@@ -431,3 +431,40 @@ def test_all_requests_fail(setup):
     reqs = [Request(uid=i, error=f"boom {i}") for i in range(3)]
     done = Scheduler(eng, use_native=False).run(reqs)
     assert len(done) == 3 and all(r.error for r in done)
+
+
+def test_batched_stop_ids_drain(setup):
+    """Slots that hit a stop id finish early: the scheduler sees them as
+    done (slot_status reports max_new), slot_tokens truncates one past the
+    stop, and outputs match single-request stop runs."""
+    cfg, dcfg, params, dparams, _, tree = setup
+    # find a token each label's greedy stream actually emits
+    probe = spec.SpecDecodeConfig(warp=LogitsWarp(temperature=0.0),
+                                  cfg_scale=2.0, max_new=MAX_NEW,
+                                  mode="static")
+    streams = {}
+    for lbl in (3, 5):
+        res = spec.generate(params, dparams, probe, cfg, dcfg, tree,
+                            jnp.asarray([lbl]), jnp.asarray([cfg.num_classes]),
+                            jax.random.key(40 + lbl))
+        streams[lbl] = np.asarray(res.tokens)
+    stop = int(streams[3][5])
+    ecfg = spec.SpecDecodeConfig(warp=LogitsWarp(temperature=0.0),
+                                 cfg_scale=2.0, max_new=MAX_NEW,
+                                 mode="static", stop_ids=(stop,))
+    expected = {}
+    for lbl in (3, 5):
+        res = spec.generate(params, dparams, ecfg, cfg, dcfg, tree,
+                            jnp.asarray([lbl]), jnp.asarray([cfg.num_classes]),
+                            jax.random.key(40 + lbl))
+        expected[lbl] = np.asarray(res.tokens)[: int(res.n_valid)]
+    assert len(expected[3]) < MAX_NEW          # the stop actually fires
+
+    eng = BatchedEngine(ecfg, cfg, dcfg, tree, params, dparams, num_slots=2)
+    reqs = [Request(uid=lbl, cond=jnp.asarray([lbl]),
+                    uncond=jnp.asarray([cfg.num_classes]), seed=40 + lbl)
+            for lbl in (3, 5)]
+    done = Scheduler(eng, use_native=False).run(reqs)
+    for r in done:
+        assert r.error is None
+        np.testing.assert_array_equal(r.tokens, expected[r.uid])
