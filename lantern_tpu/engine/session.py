@@ -227,11 +227,22 @@ class LlamaGenSession:
         max_new = max_new or cfg.block_size
         warp = LogitsWarp(temperature=temperature, top_k=top_k, top_p=top_p,
                           warp_order=warp_order)
+        if tree == "auto" and mode == "static" and self.dparams is not None:
+            # measured speculation-vs-batching crossover (engine/policy.py):
+            # big slot counts amortize the weight stream by themselves, and
+            # past the crossover plain batched AR wins
+            from .policy import serving_plan
+
+            pmode, ptree = serving_plan(slots)
+            if pmode == "ar":
+                mode = "ar"
+            else:
+                tree = ptree
+        elif tree == "auto":
+            tree = "naive_extend_57" if slots < 4 else "chain_bush_8"
         if mode == "ar" or self.dparams is None:
             return self._generate_batch_ar(prompts, slots, max_new, cfg_scale,
                                            warp, seed, kv_quant)
-        if tree == "auto":
-            tree = "naive_extend_57" if slots < 4 else "chain_bush_8"
         dwarp = (None if drafter_top_k is None else
                  dataclasses.replace(warp, top_k=drafter_top_k))
         ecfg = spec.SpecDecodeConfig(

@@ -174,15 +174,28 @@ def main():
 
     S_BATCH = max(1, args.sample_batch)
     T_total = prompt_len + MAX_NEW
+    # sampled token streams persist per sample (tiny): a restart after a
+    # tunnel/worker stall skips re-sampling and only re-runs the teacher
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(args.out)) or ".",
+                             "lumina_trace_cache")
+    os.makedirs(cache_dir, exist_ok=True)
     tok_rows, hid_refs, pos_rows, valid_rows = [], [], [], []
     n_done = 0
     while n_done < args.samples:
         n = min(S_BATCH, args.samples - n_done)
         keys = [jax.random.key(1000 + n_done + j) for j in range(n)]
         tps = [one_prompt(jax.random.fold_in(k, 0)) for k in keys]
-        rngs = jnp.stack([jax.random.fold_in(k, 1) for k in keys])
-        gen = sample_many(tps + [tps[-1]] * (S_BATCH - n),
-                          jnp.concatenate([rngs] + [rngs[-1:]] * (S_BATCH - n)))
+        cpaths = [os.path.join(cache_dir, f"g{GRID}_s{1000 + n_done + j}.npy")
+                  for j in range(n)]
+        if all(os.path.exists(c) for c in cpaths):
+            gen = jnp.stack([jnp.asarray(np.load(c)) for c in cpaths])
+        else:
+            rngs = jnp.stack([jax.random.fold_in(k, 1) for k in keys])
+            gen = sample_many(
+                tps + [tps[-1]] * (S_BATCH - n),
+                jnp.concatenate([rngs] + [rngs[-1:]] * (S_BATCH - n)))
+            for j in range(n):
+                np.save(cpaths[j], np.asarray(gen[j]))
         for j in range(n):
             tp = tps[j]
             hid2 = teacher(params, tp.tokens, tp.positions,

@@ -1,0 +1,153 @@
+"""Select the Lumina-lane draft tree by measured wall-clock tok/s.
+
+At 7B geometry the tree-verification forward's MXU rows cost real time, so
+the best shape trades compression against per-step cost — measured, not
+modeled.  Runs the real spec engine at the bench's north-star configuration
+(48x48 grid FSM, LANTERN k=10 d=5, int8 weights + int8 KV, trained drafter
+when present) over a candidate shape set and writes
+``ckpts/bench_tree_lumina.json`` when a candidate beats the current default.
+
+Usage: python scripts/select_lumina_tree.py [--trees ...] [--grid 48]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grid", type=int,
+                    default=int(os.environ.get("BENCH_LUMINA_GRID", 48)))
+    ap.add_argument("--trees",
+                    default="chain_bush_8,mc_sim_7b_63,naive_extend_57,chain")
+    ap.add_argument("--runs", type=int, default=1,
+                    help="timed rollouts per tree (each is a full image)")
+    ap.add_argument("--out", default="ckpts/bench_tree_lumina.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lantern_tpu import configs, trees
+    from lantern_tpu.engine import spec
+    from lantern_tpu.models import chameleon as cham
+    from lantern_tpu.models import drafter as drf
+    from lantern_tpu.models import transformer as tfm
+    from lantern_tpu.ops.acceptance import LanternSpec
+    from lantern_tpu.ops.quant import quantize_params
+    from lantern_tpu.ops.sampling import LogitsWarp
+    from lantern_tpu.ops.vq_distance import nearest_latents
+
+    t0 = time.perf_counter()
+
+    def note(m):
+        print(f"[seltree +{time.perf_counter() - t0:6.1f}s] {m}", flush=True)
+
+    GRID = args.grid
+    MAX_NEW = GRID * (GRID + 1) + 1
+    TEXT = list(range(60000, 60016))
+    prompt_len = len(TEXT) + 3
+    cfg = configs.chameleon_7b_config(
+        max_seq_len=prompt_len + MAX_NEW + 74, swin_norm=True)
+    ck = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "ckpts/bench_drafter_lumina.npz")
+    d_layers = 1
+    if os.path.exists(ck):
+        with np.load(ck) as z:
+            if "num_layers" in z.files:
+                d_layers = int(z["num_layers"])
+    dcfg = configs.drafter_config(cfg, num_layers=d_layers,
+                                  total_tokens=59, depth=4, top_k=10)
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        params = tfm.init_params(jax.random.key(0), cfg)
+        dparams = drf.init_drafter_params(jax.random.key(101), dcfg,
+                                          params["embed"])
+        if os.path.exists(ck):
+            z = np.load(ck)
+            dt_ = cfg.jnp_dtype
+            dparams["fc_w"] = jnp.asarray(z["fc_w"], dt_)
+            dparams["fc_b"] = jnp.asarray(z["fc_b"], dt_)
+            dparams["layers"] = {k[len("layers."):]: jnp.asarray(z[k], dt_)
+                                 for k in z.files if k.startswith("layers.")}
+            note("trained lumina drafter loaded")
+        else:
+            H = cfg.hidden_size
+            fc = np.zeros((2 * H, H), np.float32)
+            fc[H:] = np.eye(H)
+            dparams["fc_w"] = jnp.asarray(fc, dtype=cfg.jnp_dtype)
+            dparams["layers"] = jax.tree.map(lambda a: a * 0,
+                                             dparams["layers"])
+        cb = jax.random.normal(jax.random.key(3), (8192, 8))
+        near = np.asarray(nearest_latents(cb, k=11))
+        params["nearest_latents"] = jnp.asarray(
+            cham.shift_nearest_table(near, cfg.vocab_size))
+        params = quantize_params(tfm.fuse_params(params))
+        dparams = quantize_params(tfm.fuse_params(dparams))
+    params = jax.device_put(params, tpu)
+    dparams = jax.device_put(dparams, tpu)
+    note("7B params on device")
+
+    warp = LogitsWarp(temperature=1.0, top_k=2000, top_p=1.0)
+    tp = cham.lumina_token_prompt(TEXT, grid=(GRID, GRID))
+    fsm = cham.LuminaGridFSM(w=GRID, h=GRID, image_start_idx=len(TEXT),
+                             vocab_size=cfg.vocab_size)
+
+    results = {}
+    for name in args.trees.split(","):
+        tree = trees.get_tree(name)
+        ecfg = spec.SpecDecodeConfig(
+            warp=warp, cfg_scale=3.0, lantern=LanternSpec(k=10, delta=5.0),
+            max_new=MAX_NEW, mode="static", kv_quant=True,
+        )
+
+        def run(seed):
+            res = spec.generate(params, dparams, ecfg, cfg, dcfg, tree,
+                                None, None, jax.random.key(seed),
+                                token_prompt=tp, logits_fn=fsm)
+            np.asarray(res.tokens)
+            return res
+        try:
+            run(7)
+            best = None
+            comp = None
+            for i in range(args.runs):
+                t = time.perf_counter()
+                res = run(8 + i)
+                dt = time.perf_counter() - t
+                best = dt if best is None else min(best, dt)
+                comp = float(res.accept_sum) / max(1.0, float(res.steps))
+            tps = MAX_NEW / best
+            results[name] = dict(tok_s=round(tps, 2),
+                                 compression=round(comp, 3))
+            note(f"{name}: {tps:.1f} tok/s, compression {comp:.3f}")
+        except Exception as e:  # noqa: BLE001
+            note(f"{name} failed: {type(e).__name__}: {e}")
+    print(json.dumps(results, indent=1))
+    if results:
+        winner = max(results, key=lambda k: results[k]["tok_s"])
+        note(f"winner: {winner}")
+        if winner != "chain_bush_8":
+            from lantern_tpu.trees import TREE_LIBRARY
+
+            with open(args.out, "w") as f:
+                json.dump([list(p) for p in TREE_LIBRARY[winner]], f)
+            note(f"wrote {args.out} "
+                 "(set BENCH_LUMINA_TREE or let bench pick it up)")
+
+
+if __name__ == "__main__":
+    main()
