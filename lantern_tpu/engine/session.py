@@ -176,6 +176,8 @@ class LlamaGenSession:
             max_new=max_new, mode=mode, kv_quant=kv_quant,
             drafter_warp=dwarp,
         )
+        if tree == "auto":
+            tree = "naive_extend_57"
         tspec = trees.get_tree(tree) if mode == "static" else None
         res = spec.generate(
             self.params, self.dparams, ecfg, cfg, self.dcfg, tspec,
@@ -471,6 +473,8 @@ class ChameleonSession:
             except Exception as e:  # noqa: BLE001
                 reqs.append(Request(uid=i, seed=seed + i,
                                     error=f"{type(e).__name__}: {e}"))
+        if tree == "auto":
+            tree = "mc_sim_7b_63" if slots < 4 else "chain_bush_8"
         mask = jnp.asarray(cham.non_image_token_mask(cfg.vocab_size))
         logits_fn = None
         if self.family == "lumina" and lens:
@@ -607,6 +611,8 @@ class ChameleonSession:
             max_new=max_new, mode=mode, kv_quant=kv_quant,
             drafter_warp=dwarp, stop_ids=stop_ids,
         )
+        if tree == "auto":
+            tree = "mc_sim_7b_63"
         tspec = trees.get_tree(tree) if mode == "static" else None
         res = spec.generate(
             self.params, self.dparams, ecfg, cfg, self.dcfg, tspec,

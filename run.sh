@@ -26,7 +26,7 @@ delta=${point[1]}
 SLOTS=${SLOTS:-4}
 
 python main.py generate_images \
-    --model-type eagle --static-tree --tree-choices naive_extend_57 \
+    --model-type eagle --static-tree --tree-choices auto \
     --prompts-file "$prompts" --start-idx "$start" --end-idx "$end" \
     --lantern --lantern-k "$k" --lantern-delta "$delta" \
     --seed 42 --slots "$SLOTS" \
