@@ -121,6 +121,46 @@ def generate_many(
 
 @partial(jax.jit, static_argnames=("cfg", "max_new", "warp",
                                    "logits_fn", "kv_quant", "stop_ids"))
+def generate_tokens_many(
+    params: dict,
+    cfg: ModelConfig,
+    token_prompt,              # TokenPrompt with tokens [R, 2, L] (stacked)
+    max_new: int,
+    cfg_scale: float,
+    warp: LogitsWarp,
+    rngs: jax.Array,           # [R] PRNG keys
+    logits_mask: Optional[jnp.ndarray] = None,
+    logits_fn=None,
+    kv_quant: bool = False,
+    stop_ids: tuple = (),
+):
+    """Lockstep-batched Chameleon-family AR: R same-length token-prompt
+    requests share every weight stream (the reference's vLLM data-gen role,
+    vllm_inference_solver.py:243-343, expressed as vmap).  ``token_prompt``
+    fields carry a leading request axis for ``tokens``/``positions``/
+    ``valid`` (pos_diff may be [R] or shared).  Returns (tokens [R, max_new],
+    n_valid [R]).  Uses dense attention (the flash kernel has no batching
+    rule)."""
+    import dataclasses as _dc
+
+    cfg_d = _dc.replace(cfg, use_flash_attention=False)
+
+    def one(tokens, positions, valid, rng):
+        tp = token_prompt.__class__(tokens=tokens, positions=positions,
+                                    valid=valid,
+                                    pos_diff=positions[1, -1] * 0)
+        res = generate_tokens(params, cfg_d, tp, max_new, cfg_scale, warp,
+                              rng, logits_mask=logits_mask,
+                              logits_fn=logits_fn, kv_quant=kv_quant,
+                              stop_ids=stop_ids)
+        return res.tokens, res.n_valid
+
+    return jax.vmap(one)(token_prompt.tokens, token_prompt.positions,
+                         token_prompt.valid, rngs)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new", "warp",
+                                   "logits_fn", "kv_quant", "stop_ids"))
 def generate_tokens(
     params: dict,
     cfg: ModelConfig,

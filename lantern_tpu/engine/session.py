@@ -453,8 +453,12 @@ class ChameleonSession:
         from .batch import BatchedEngine
         from .scheduler import Request, Scheduler
 
-        if self.dparams is None:
-            raise ValueError("batched serving needs a drafter")
+        if mode == "ar" or self.dparams is None:
+            warp = LogitsWarp(temperature=temperature, top_k=top_k,
+                              top_p=top_p, warp_order=warp_order)
+            return self._generate_batch_ar_tokens(
+                prompts, slots, max_new, cfg_scale, warp, seed, kv_quant,
+                grid)
         cfg = self.cfg
         h, w = grid or self.grid
         if max_new is None:
@@ -498,6 +502,63 @@ class ChameleonSession:
                                self.dparams, num_slots=min(slots, len(prompts)),
                                logits_mask=mask, logits_fn=logits_fn)
         return Scheduler(engine).run(reqs, progress=progress)
+
+    def _generate_batch_ar_tokens(self, prompts, slots, max_new, cfg_scale,
+                                  warp, seed, kv_quant, grid=None):
+        """Lockstep batched AR over token prompts, bucketed by prompt length
+        (ar.generate_tokens_many — the reference's vLLM data-gen role for
+        Chameleon models, vllm_inference_solver.py:243-343)."""
+        import time as _time
+
+        from ..models import chameleon as cham
+        from . import ar as _ar
+        from .scheduler import Request
+
+        cfg = self.cfg
+        h, w = grid or self.grid
+        if max_new is None:
+            max_new = h * w if self.family == "anole" else h * (w + 1) + 1
+        out = []
+        built = []
+        for i, p in enumerate(prompts):
+            try:
+                built.append((i, self._prompt(p, grid=grid)))
+            except Exception as e:  # noqa: BLE001
+                out.append(Request(uid=i, seed=seed + i,
+                                   error=f"{type(e).__name__}: {e}"))
+        by_len = {}
+        for i, tp in built:
+            by_len.setdefault(int(tp.tokens.shape[1]), []).append((i, tp))
+        for L, group in sorted(by_len.items()):
+            mask = jnp.asarray(cham.non_image_token_mask(cfg.vocab_size))
+            logits_fn = None
+            if self.family == "lumina":
+                logits_fn = cham.LuminaGridFSM(
+                    w=w, h=h, image_start_idx=L - 3,
+                    vocab_size=cfg.vocab_size, **(self.fsm_overrides or {}))
+                mask = None
+            for lo in range(0, len(group), max(1, slots)):
+                chunk = group[lo: lo + max(1, slots)]
+                tpb = spec.TokenPrompt(
+                    tokens=jnp.stack([tp.tokens for _, tp in chunk]),
+                    positions=jnp.stack([tp.positions for _, tp in chunk]),
+                    valid=jnp.stack([tp.valid for _, tp in chunk]),
+                    pos_diff=jnp.stack([tp.pos_diff for _, tp in chunk]),
+                )
+                rngs = jax.vmap(jax.random.key)(
+                    jnp.asarray([seed + i for i, _ in chunk], jnp.uint32))
+                t0 = _time.perf_counter()
+                toks, _nv = _ar.generate_tokens_many(
+                    self.params, cfg, tpb, max_new, cfg_scale, warp, rngs,
+                    logits_mask=mask, logits_fn=logits_fn, kv_quant=kv_quant)
+                toks = np.asarray(toks)
+                dt = _time.perf_counter() - t0
+                for row, (i, _) in enumerate(chunk):
+                    out.append(Request(uid=i, seed=seed + i,
+                                       tokens=toks[row], steps=max_new,
+                                       accept_sum=max_new, latency=dt))
+        out.sort(key=lambda r: r.uid)
+        return out
 
     @classmethod
     def random(cls, cfg: ModelConfig, dcfg: Optional[DrafterConfig] = None,

@@ -183,3 +183,27 @@ def test_pad_rows_invisible_to_engine(setup):
     # the draft proposals themselves must be pad-invariant (catches drafter
     # pad leakage even when the verified output happens not to flip)
     np.testing.assert_array_equal(proposals(scrambled), prop_ref)
+
+
+def test_batched_ar_tokens_matches_single():
+    """ChameleonSession.generate_batch(mode='ar'): lockstep-vmapped token-
+    prompt AR (ar.generate_tokens_many), bucketed by prompt length, matches
+    single-request AR streams per seed."""
+    from lantern_tpu.engine.session import ChameleonSession
+
+    cfg = configs.tiny_config(
+        vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+        rope_kind="1d", cond_kind="none", qk_norm=True, max_seq_len=160)
+    dcfg = configs.drafter_config(cfg, total_tokens=8, depth=2, top_k=4)
+    sess = ChameleonSession.random(cfg, dcfg, family="lumina", grid=(2, 3))
+    sess.fsm_overrides = dict(newline_id=250, image_end_id=251,
+                              image_lo=4, image_hi=249)
+    prompts = [[7, 8], [9, 10], [7, 8, 11]]       # two lengths -> 2 buckets
+    done = sess.generate_batch(prompts, slots=2, mode="ar",
+                               temperature=0.0, cfg_scale=2.0)
+    assert [r.uid for r in done] == [0, 1, 2]
+    for r in done:
+        assert r.error is None
+        single, _ = sess.generate(prompts[r.uid], temperature=0.0,
+                                  cfg_scale=2.0, mode="ar", seed=r.uid)
+        np.testing.assert_array_equal(r.tokens, single)
