@@ -449,9 +449,14 @@ def lumina_main():
     fsm = cham.LuminaGridFSM(w=GRID, h=GRID, image_start_idx=len(TEXT),
                              vocab_size=cfg.vocab_size)
     KVQ = os.environ.get("BENCH_KV_LUMINA", "int8") == "int8"
-    # at 7B-class geometry the 57-node tree's MXU rows nearly double the
-    # step; small chain-heavy shapes win wall clock (PERF.md economics)
-    TREE = os.environ.get("BENCH_LUMINA_TREE", "chain_bush_8")
+    # measured-winner tree (scripts/select_lumina_tree.py) when present; at
+    # 7B-class geometry the trade is compression vs per-step MXU rows, so
+    # the shape is picked by wall clock, not by hand (PERF.md economics)
+    sel_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "ckpts/bench_tree_lumina.json")
+    TREE = os.environ.get("BENCH_LUMINA_TREE", "")
+    if not TREE:
+        TREE = sel_path if os.path.exists(sel_path) else "chain_bush_8"
     tree = trees.get_tree(TREE)
 
     def run_ar(seed):
