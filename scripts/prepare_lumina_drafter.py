@@ -231,13 +231,15 @@ def main():
     note(f"traces on device: {hid_all.shape} {hid_all.dtype}")
 
     # free the base: training needs only the head (dparams carries the
-    # shared embedding); the eval phase re-uploads the full model
+    # shared embedding); the eval phase re-uploads the full model.
+    # NOTE sample_many's closure also pins the 7 GB params — delete it too
+    # (keeping it alive OOMed the first training step at 7B geometry).
     from lantern_tpu.ops import quant as qn
     head = qn.head_of(params)
     if isinstance(head, tuple):   # dequantize for the f32 training loss path
         q, s = head
         head = (q.astype(jnp.bfloat16) * s.astype(jnp.bfloat16))
-    del params
+    del params, sample_many, teacher
 
     # ---- phase 2: drafter training ------------------------------------------
     n_rows = 2 * args.samples
