@@ -44,8 +44,10 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--grid", type=int, default=int(os.environ.get("BENCH_LUMINA_GRID", 48)))
     ap.add_argument("--layers", type=int, default=1)
-    ap.add_argument("--sample-batch", type=int, default=4,
-                    help="vmapped AR requests per sampling call")
+    ap.add_argument("--sample-batch", type=int, default=1,
+                    help="vmapped AR requests per sampling call (>1 uses the "
+                         "dense-attention vmap path, which crashes the TPU "
+                         "worker at full 7B geometry — keep 1 there)")
     ap.add_argument("--head-chunk", type=int, default=512)
     ap.add_argument("--eval-rollouts", type=int, default=2)
     ap.add_argument("--bench-layers", type=int, default=0,
@@ -219,6 +221,19 @@ def main():
                 valid_rows.append(v)
         n_done += n
         note(f"traces {n_done}/{args.samples}")
+    # free the base BEFORE stacking the traces: training needs only the head
+    # (dparams carries the shared embedding) and the stack's input rows +
+    # output (~2x1.9 GB at 48 samples) do not fit next to the 7 GB base.
+    # The eval phase re-uploads the full model from the host copy.
+    # NOTE sample_many's closure also pins the 7 GB params — delete it too
+    # (keeping it alive OOMed the first training step at 7B geometry).
+    from lantern_tpu.ops import quant as qn
+    head = qn.head_of(params)
+    if isinstance(head, tuple):   # dequantize for the f32 training loss path
+        q, s = head
+        head = (q.astype(jnp.bfloat16) * s.astype(jnp.bfloat16))
+    del params, sample_many, teacher
+
     hid_all = jnp.stack(hid_refs)                # [N, T, H] on device (bf16)
     del hid_refs
     tok_all = np.stack(tok_rows)
@@ -229,17 +244,6 @@ def main():
     loss_mask_row = np.zeros((T_total,), np.float32)
     loss_mask_row[prompt_len - 1: T_total - 1] = 1.0
     note(f"traces on device: {hid_all.shape} {hid_all.dtype}")
-
-    # free the base: training needs only the head (dparams carries the
-    # shared embedding); the eval phase re-uploads the full model.
-    # NOTE sample_many's closure also pins the 7 GB params — delete it too
-    # (keeping it alive OOMed the first training step at 7B geometry).
-    from lantern_tpu.ops import quant as qn
-    head = qn.head_of(params)
-    if isinstance(head, tuple):   # dequantize for the f32 training loss path
-        q, s = head
-        head = (q.astype(jnp.bfloat16) * s.astype(jnp.bfloat16))
-    del params, sample_many, teacher
 
     # ---- phase 2: drafter training ------------------------------------------
     n_rows = 2 * args.samples
