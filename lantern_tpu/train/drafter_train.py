@@ -62,6 +62,11 @@ class TrainConfig:
     # row.  head_chunk > 0 computes the soft-CE/metrics in T-chunks under a
     # rematerialized lax.scan (identical math, checked by test_training).
     head_chunk: int = 0
+    # Rematerialize the drafter forward under value_and_grad: the dense
+    # T x T attention probs (~0.7 GB per row at T~2400, 32 heads, f32) are
+    # otherwise saved as backward residuals, which blows the 16 GB v5e HBM
+    # next to the resident trace stack.  Identical math (test_training).
+    remat: bool = False
 
 
 def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
@@ -185,10 +190,16 @@ def loss_and_metrics(
     tcfg: TrainConfig,
 ) -> tuple[jnp.ndarray, Metrics]:
     positions = batch.get("positions")
-    predict = drafter_teacher_forward(
-        dparams, dcfg, rope, batch["tokens"], batch["hidden"],
-        batch["attn_valid"], positions=positions,
-    )
+
+    def _fwd(dparams, tokens, hidden, positions):
+        return drafter_teacher_forward(
+            dparams, dcfg, rope, tokens, hidden, batch["attn_valid"],
+            positions=positions,
+        )
+
+    if tcfg.remat:
+        _fwd = jax.checkpoint(_fwd)
+    predict = _fwd(dparams, batch["tokens"], batch["hidden"], positions)
     target = batch["target"]
     mask = batch["loss_mask"][..., None]                     # [B, T, 1]
 
@@ -219,10 +230,7 @@ def loss_and_metrics(
 
     for d in range(2, tcfg.rollout_depth + 1):
         tok_d = shift_left(batch["tokens"], d - 1)
-        h_d = drafter_teacher_forward(
-            dparams, dcfg, rope, tok_d, h_prev, batch["attn_valid"],
-            positions=positions,
-        )
+        h_d = _fwd(dparams, tok_d, h_prev, positions)
         tgt_d = shift_left(target, d - 1)
         # valid where the whole d-step window sits inside the loss region
         m_d = batch["loss_mask"] * shift_left(batch["loss_mask"], d - 1)

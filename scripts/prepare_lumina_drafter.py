@@ -40,7 +40,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=48)
     ap.add_argument("--epochs", type=int, default=6)
-    ap.add_argument("--bs", type=int, default=2, help="rows per step (2 streams/sample)")
+    ap.add_argument("--bs", type=int, default=1,
+                    help="rows per step (bs=2 OOMed v5e-16GB: dense 2372^2 "
+                         "attention residuals next to the resident traces)")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--grid", type=int, default=int(os.environ.get("BENCH_LUMINA_GRID", 48)))
     ap.add_argument("--layers", type=int, default=1)
@@ -253,6 +255,7 @@ def main():
         warmup_steps=max(2, steps_per_epoch // 2),
         total_steps=steps_per_epoch * args.epochs,
         head_chunk=args.head_chunk,
+        remat=True,   # dense T^2 attention residuals don't fit v5e HBM
     )
     state = dt.init_train_state(dparams, tcfg)
     rng_np = np.random.default_rng(0)
