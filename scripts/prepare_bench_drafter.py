@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--eval-rollouts", type=int, default=3,
                     help="post-train self-rollout spec decodes to measure "
                     "step compression (0 = skip)")
+    ap.add_argument("--init", choices=("random", "passthrough"),
+                    default="random",
+                    help="passthrough: fc = [0; I] so training starts at the "
+                         "hidden-passthrough operating point (the Lumina lane "
+                         "needs this at 4096h/65536V; at XL geometry random "
+                         "init already reached compression 2.5 — A/B both)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcache")
@@ -69,6 +75,12 @@ def main():
     with jax.default_device(cpu):
         params = tfm.init_params(jax.random.key(0), cfg)   # = bench base model
         dparams = drf.init_drafter_params(jax.random.key(101), dcfg, params["embed"])
+        if args.init == "passthrough":
+            H = cfg.hidden_size
+            fc = np.zeros((dparams["fc_w"].shape[0], H), np.float32)
+            fc[-H:] = np.eye(H)
+            dparams["fc_w"] = jnp.asarray(fc, dparams["fc_w"].dtype)
+            dparams["fc_b"] = jnp.zeros_like(dparams["fc_b"])
     params = jax.device_put(params, tpu)
     dparams = jax.device_put(dparams, tpu)
     rope = tfm.make_rope_tables(cfg)

@@ -207,3 +207,29 @@ def test_positions_override_changes_forward(setup):
     _, m1 = dt.loss_and_metrics(dp, dcfg, rope, params["lm_head"],
                                 shifted, tcfg)
     assert abs(float(m0.loss) - float(m1.loss)) > 1e-6
+
+
+def test_remat_matches_no_remat(setup):
+    """TrainConfig.remat (backward-recompute drafter forward, used by the
+    full-geometry Lumina prep where dense T^2 attention residuals exceed
+    HBM) must be bitwise-identical math, including rollout levels."""
+    cfg, dcfg, params, dparams, rope = setup
+    head = params["lm_head"]
+    batch = synth_batch(cfg, B=4, T=12, seed=5)
+    for depth in (1, 2):
+        t_plain = dt.TrainConfig(lr=1e-3, noise="none", head_chunk=5,
+                                 rollout_depth=depth, remat=False)
+        t_remat = dt.TrainConfig(lr=1e-3, noise="none", head_chunk=5,
+                                 rollout_depth=depth, remat=True)
+        lp, mp = dt.loss_and_metrics(dparams, dcfg, rope, head, batch, t_plain)
+        lr_, mr = dt.loss_and_metrics(dparams, dcfg, rope, head, batch, t_remat)
+        np.testing.assert_allclose(float(lp), float(lr_), rtol=1e-6)
+        sp = dt.init_train_state(dparams, t_plain)
+        sr = dt.init_train_state(dparams, t_remat)
+        k = jax.random.key(1)
+        sp, _ = dt.train_step(sp, dcfg, t_plain, rope, head, batch, k)
+        sr, _ = dt.train_step(sr, dcfg, t_remat, rope, head, batch, k)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6),
+            sp.dparams, sr.dparams)
