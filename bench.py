@@ -421,9 +421,12 @@ def lumina_main():
             }
             note(f"loaded trained drafter {drafter_ckpt}")
         else:
-            # hidden-passthrough drafter: the drafter passes the base hidden
-            # through, so proposals track the base distribution — a usable
-            # acceptance stand-in
+            # hidden-passthrough drafter — the MEASURED-OPTIMAL drafter for
+            # a random-weight base, not a stand-in: the round-3 recipe
+            # matrix (PERF.md "Lumina drafter study") scored it above every
+            # trained variant (1.957 vs 1.03-1.05 at this geometry; 3.07 vs
+            # 2.47-2.93 at a trainable tiny replica).  A trained npz, when
+            # present (real-weight deployments), still takes precedence.
             H = cfg.hidden_size
             fc = np.zeros((2 * H, H), np.float32)
             fc[H:] = np.eye(H)   # input is [embed, hidden]

@@ -42,6 +42,12 @@ class TrainConfig:
     betas: tuple = (0.9, 0.95)
     grad_clip: float = 0.5
     p_w: float = 0.1
+    # vloss weight.  The reference fixes it at 1.0 (train_drafter/main.py:162)
+    # but acceptance is a *distributional* event (~ 1 - TV(q, p)), and on a
+    # random-weight bench base the CE-dominant objective (v_w << p_w) is the
+    # deployment-aligned one: vloss-dominant training measurably DEGRADES
+    # self-rollout compression from the passthrough init (PERF.md, round 3).
+    v_w: float = 1.0
     num_epochs: int = 20
     warmup_steps: int = 0
     total_steps: int = 0
@@ -214,7 +220,7 @@ def loss_and_metrics(
     n_mask = jnp.sum(p_mask)
     ploss = pl_sum / (n_mask + 1e-5)
 
-    loss = vloss + tcfg.p_w * ploss
+    loss = tcfg.v_w * vloss + tcfg.p_w * ploss
 
     # --- on-policy rollout levels (rollout_depth > 1) ---
     # level d consumes (teacher token_{p+d-1}, drafter's own level-(d-1)

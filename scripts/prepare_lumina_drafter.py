@@ -44,6 +44,11 @@ def main():
                     help="rows per step (bs=2 OOMed v5e-16GB: dense 2372^2 "
                          "attention residuals next to the resident traces)")
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--p-w", type=float, default=0.1,
+                    help="soft-CE (head distribution) loss weight")
+    ap.add_argument("--v-w", type=float, default=1.0,
+                    help="hidden-regression loss weight (CE-dominant runs "
+                         "set this << p_w; see PERF.md round-3 findings)")
     ap.add_argument("--grid", type=int, default=int(os.environ.get("BENCH_LUMINA_GRID", 48)))
     ap.add_argument("--layers", type=int, default=1)
     ap.add_argument("--sample-batch", type=int, default=1,
@@ -74,6 +79,12 @@ def main():
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
     import jax
+
+    if os.environ.get("PREP_DEVICE") == "cpu":
+        # tiny-geometry CPU debugging (--bench-layers): sitecustomize pins
+        # the axon TPU plugin, so flip platforms after import (see
+        # tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -274,7 +285,8 @@ def main():
     n_rows = 2 * args.samples
     steps_per_epoch = max(n_rows // args.bs, 1)
     tcfg = dt.TrainConfig(
-        lr=args.lr, p_w=0.1, noise="uniform", noise_std=0.1,
+        lr=args.lr, p_w=args.p_w, v_w=args.v_w,
+        noise="uniform", noise_std=0.1,
         warmup_steps=max(2, steps_per_epoch // 2),
         total_steps=steps_per_epoch * args.epochs,
         head_chunk=args.head_chunk,
