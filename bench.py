@@ -1,14 +1,18 @@
 """Benchmark driver: speculative vs vanilla AR decode throughput on one chip.
 
-Emits ONE JSON line:
+Emits one JSON line per lane,
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
-
-Setup mirrors the reference's official operating point (run.sh:3-17):
+with the NORTH-STAR lane (Lumina-mGPT-7B-class geometry, BASELINE.json)
+printed LAST so the driver records it as the headline.  The XL lane mirrors
+the reference's official LlamaGen operating point (run.sh:3-17):
 LlamaGen-XL-class t2i geometry (36L x 1280h, vocab 16384, bf16), 256 image
-tokens, static naive_extend_57 tree, sampling (temperature 1.0, top-k 2000),
+tokens, calibrated static tree, sampling (temperature 1.0, top-k 2000),
 EAGLE-1 multi-draft verification with LANTERN relaxed acceptance (k=10,
 delta=5 multiplicative).  vs_baseline = wall-clock speedup over the vanilla
 CFG AR loop on the same model.
+
+Lane selection: BENCH_GEOM=lumina|xl runs one lane in-process; default runs
+both as budget-guarded subprocesses (BENCH_BUDGET seconds, default 840).
 
 No public LANTERN checkpoints ship in this zero-egress environment, so
 weights are random: per-step costs match the real model exactly, while
@@ -23,6 +27,93 @@ import time
 
 
 def main():
+    """Orchestrator: run BOTH lanes as guarded subprocesses under a wall-clock
+    budget, and print the Lumina north-star line LAST (the driver records the
+    final JSON line as the headline).  Round-3 postmortem: the XL lane ran
+    first in-process and its cold remote compiles ate the driver timeout, so
+    the round recorded no Lumina measurement at all (BENCH_r03 rc=124).  Lane
+    order is now north-star-first, each lane has its own timeout, and the
+    compiled-Mosaic kernel selftest runs at the END — a selftest failure
+    exits nonzero (loud) but can no longer starve the measurement."""
+    import os
+    import subprocess
+    import sys
+
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET", 840))
+
+    def note(msg):
+        print(f"[bench +{time.perf_counter() - t_start:6.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    def remaining():
+        return budget - (time.perf_counter() - t_start)
+
+    def run_lane(geom, timeout):
+        """Run one lane as a subprocess; returns its JSON lines (stdout).
+        stderr is inherited so lane notes stream into the driver tail."""
+        env = dict(os.environ, BENCH_GEOM=geom)
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, stdout=subprocess.PIPE, text=True,
+                               timeout=timeout)
+            lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+            if r.returncode != 0:
+                note(f"{geom} lane failed rc={r.returncode}")
+            return lines
+        except subprocess.TimeoutExpired as e:
+            lines = [ln for ln in (e.stdout or "").splitlines()
+                     if ln.startswith("{")]
+            note(f"{geom} lane timed out after {timeout:.0f}s")
+            return lines
+
+    # --- north-star lane first: Lumina-mGPT-7B-class geometry -------------
+    lumina_lines = []
+    if os.environ.get("BENCH_LUMINA", "1") == "1":
+        t_lum = min(float(os.environ.get("BENCH_LUMINA_TIMEOUT", 660)),
+                    remaining() - 30)
+        note(f"lumina lane starting (timeout {t_lum:.0f}s)")
+        lumina_lines = run_lane("lumina", t_lum)
+
+    # --- XL lane second, only with budget left ----------------------------
+    xl_lines = []
+    if os.environ.get("BENCH_XL", "1") == "1":
+        t_xl = min(float(os.environ.get("BENCH_XL_TIMEOUT", 480)),
+                   remaining() - 20)
+        if t_xl > 60:
+            note(f"XL lane starting (timeout {t_xl:.0f}s)")
+            xl_lines = run_lane("xl", t_xl)
+        else:
+            note("XL lane skipped: budget exhausted")
+    for ln in xl_lines:
+        print(ln, flush=True)
+    # Lumina line LAST -> it is the parsed headline.  If the lumina lane
+    # produced nothing, the XL line above is the (fallback) headline.
+    for ln in lumina_lines:
+        print(ln, flush=True)
+    if not lumina_lines and not xl_lines:
+        note("no lane produced a JSON line")
+        sys.exit(2)
+
+    # --- compiled-Mosaic kernel parity, never at the measurement's expense
+    if os.environ.get("BENCH_SELFTEST", "1") == "1" and remaining() > 30:
+        t_st = min(float(os.environ.get("BENCH_SELFTEST_TIMEOUT", 300)),
+                   remaining() - 10)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", "lantern_tpu.ops.pallas.selftest"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                timeout=t_st)
+            if r.returncode != 0:
+                note(f"KERNEL SELFTEST FAILED:\n{r.stdout[-800:]}")
+                sys.exit(3)   # lines already printed; rc flags the regression
+            note(f"kernel selftest OK: {r.stdout.strip().splitlines()[-1]}")
+        except subprocess.TimeoutExpired:
+            note("kernel selftest timed out (not a failure; see stderr)")
+
+
+def xl_main():
     import os
     import sys
 
@@ -51,15 +142,6 @@ def main():
     size = os.environ.get("BENCH_SIZE", "XL")
     LK = int(os.environ.get("BENCH_LANTERN_K", 10))
     LD = float(os.environ.get("BENCH_LANTERN_DELTA", 5.0))
-
-    # compiled-Mosaic kernel parity on the real chip BEFORE timing anything:
-    # a kernel regression must fail the bench loudly, not ship as a silent
-    # perf/accuracy shift (the interpret-mode CI tests can't cover Mosaic)
-    if os.environ.get("BENCH_SELFTEST", "1") == "1":
-        from lantern_tpu.ops.pallas.selftest import run_kernel_selftest
-
-        errs = run_kernel_selftest()
-        note(f"kernel selftest OK: {errs}")
 
     cfg = configs.llamagen_config(size, "t2i", image_tokens=IMAGE_TOKENS)
     drafter_ckpt_probe = os.path.join(
@@ -317,28 +399,7 @@ def main():
             "backend": jax.default_backend(),
         },
     }
-    print(json.dumps(out))
-
-    # --- north-star geometry: Lumina-mGPT-7B-class, 2353-token images ---
-    # Run as a subprocess with a hard timeout so a pathological remote
-    # compile can never lose the headline line above.
-    if os.environ.get("BENCH_LUMINA", "1") == "1":
-        import subprocess
-
-        env = dict(os.environ, BENCH_GEOM="lumina")
-        try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True,
-                timeout=int(os.environ.get("BENCH_LUMINA_TIMEOUT", 2700)))
-            for ln in r.stdout.splitlines():
-                if ln.startswith("{"):
-                    print(ln)
-            if r.returncode != 0:
-                note(f"lumina phase failed rc={r.returncode}: "
-                     f"{r.stderr[-400:]}")
-        except subprocess.TimeoutExpired:
-            note("lumina phase timed out; headline line already printed")
+    print(json.dumps(out), flush=True)
 
 
 def lumina_main():
@@ -516,7 +577,10 @@ def lumina_main():
 if __name__ == "__main__":
     import os as _os
 
-    if _os.environ.get("BENCH_GEOM", "llamagen") == "lumina":
+    _geom = _os.environ.get("BENCH_GEOM", "all")
+    if _geom == "lumina":
         lumina_main()
+    elif _geom in ("llamagen", "xl"):
+        xl_main()
     else:
         main()

@@ -414,14 +414,17 @@ def _compile_fit(paths) -> TreeSpec:
 
 def get_tree(name_or_paths) -> TreeSpec:
     """Compile a tree by library name, explicit path list, or a ``.json``
-    file written by the calibration flow (scripts/optimize_bench_tree.py:
-    ``{"rank_probs": [...], "paths": [[...], ...]}``)."""
+    file written by the calibration flows: either a bare path list
+    (scripts/select_lumina_tree.py) or ``{"paths": [[...], ...]}``
+    (scripts/optimize_bench_tree.py)."""
     if isinstance(name_or_paths, str):
         if name_or_paths.endswith(".json"):
             import json
 
             with open(name_or_paths) as f:
-                return _compile_fit(json.load(f)["paths"])
+                data = json.load(f)
+            return _compile_fit(data["paths"]
+                                if isinstance(data, dict) else data)
         try:
             paths = TREE_LIBRARY[name_or_paths]
         except KeyError:

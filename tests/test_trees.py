@@ -115,3 +115,29 @@ def test_compile_rejects_bad_specs():
         trees.compile_tree([[0], [0]])  # duplicate
     with pytest.raises(ValueError):
         trees.compile_tree([[trees.TOPK]])  # rank out of range
+
+
+def test_get_tree_json_formats(tmp_path):
+    """Both on-disk calibration formats load: a bare path list
+    (select_lumina_tree.py) and {"paths": ...} (optimize_bench_tree.py).
+    Regression: the committed ckpts/bench_tree_lumina.json is a bare list
+    and used to crash the bench's north-star lane."""
+    import json
+
+    paths = [[0], [1], [0, 0], [0, 1], [0, 0, 0]]
+    bare = tmp_path / "bare.json"
+    bare.write_text(json.dumps(paths))
+    wrapped = tmp_path / "wrapped.json"
+    wrapped.write_text(json.dumps({"paths": paths, "rank_probs": [0.5, 0.2]}))
+    a = trees.get_tree(str(bare))
+    b = trees.get_tree(str(wrapped))
+    np.testing.assert_array_equal(a.parent_slot, b.parent_slot)
+    assert a.num_nodes == len(paths) + 1
+
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for fname in ("ckpts/bench_tree_lumina.json", "ckpts/bench_tree_XL.json"):
+        p = os.path.join(repo, fname)
+        if os.path.exists(p):
+            trees.get_tree(p)
