@@ -304,10 +304,16 @@ def xl_main():
         if R > 1:
             from lantern_tpu.engine.batch import BatchedEngine
 
-            btree = trees.get_tree("chain_bush_8")
+            # policy-selected shape for this R; int8 KV to match the batched
+            # AR phase below — the r2/r3 benches ran spec with bf16 KV
+            # against int8-KV AR, rigging the comparison against speculation
+            from lantern_tpu.engine.policy import serving_plan
+
+            _, btree_name = serving_plan(R, geometry="llamagen_xl")
+            btree = trees.get_tree(btree_name or "chain_bush_8")
             ecfg_b = spec.SpecDecodeConfig(
                 warp=warp, cfg_scale=3.0, lantern=LanternSpec(k=LK, delta=LD),
-                max_new=IMAGE_TOKENS, mode="static", kv_quant=KVQ,
+                max_new=IMAGE_TOKENS, mode="static", kv_quant=True,
             )
             eng = BatchedEngine(ecfg_b, cfg, dcfg, btree, params, dparams,
                                 num_slots=R)

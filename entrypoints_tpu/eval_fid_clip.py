@@ -30,12 +30,19 @@ def build_parser():
     p.add_argument("--how_many", type=int, default=5000)
     p.add_argument("--eval_res", type=int, default=256)
     p.add_argument("--batch_size", type=int, default=64)
-    p.add_argument("--feature-extractor", default="hf_clip",
-                   choices=["hf_clip", "inception", "fid_inception"],
-                   help="FID feature space: cleanfid clip_vit_b_32 (hf_clip) "
-                        "/ torchvision inception / fid_inception = the "
-                        "PINNED backbone (first-party JAX port of the "
+    p.add_argument("--feature-extractor", default="clip_b32",
+                   choices=["clip_b32", "hf_clip", "inception",
+                            "fid_inception"],
+                   help="FID feature space: clip_b32 = the PINNED CLIP "
+                        "backbone (first-party JAX OpenAI ViT-B/32, "
+                        "evals/clip.py — the reference's clip_vit_b_32 / "
+                        "CLIP-score model) / hf_clip = any local HF CLIP "
+                        "dir / torchvision inception / fid_inception = the "
+                        "PINNED FID backbone (first-party JAX port of the "
                         "clean-fid pool3 network + clean bicubic resize)")
+    p.add_argument("--merges", default=None,
+                   help="CLIP BPE merges file (bpe_simple_vocab_16e6.txt.gz) "
+                        "— needed for clip_b32 CLIP scoring")
     p.add_argument("--clip-model-dir", default=None,
                    help="local HF CLIP checkpoint dir (zero-egress replacement "
                         "for openai ViT-B/32 download)")
@@ -72,19 +79,34 @@ def main(argv=None):
                  or want_clip)
     extractor = None
     if needs_net:
-        kind = (args.feature_extractor
-                if args.feature_extractor in ("inception", "fid_inception")
-                else "hf_clip")
+        kind = args.feature_extractor
         if kind == "fid_inception" and args.inception_ckpt is None:
             raise SystemExit(
                 "fid_inception needs --inception-ckpt (the canonical "
                 "pt_inception-2015-12-05-6726825d.pth; random weights are "
                 "test-only)")
+        if kind == "clip_b32" and args.clip_model_dir is None:
+            raise SystemExit(
+                "clip_b32 needs --clip-model-dir (the OpenAI ViT-B/32 .pt "
+                "/ .npz / HF CLIPModel dir; random weights are test-only)")
         extractor = F.make_extractor(
             kind,
             model_dir=(args.inception_ckpt if kind == "fid_inception"
                        else args.clip_model_dir),
             device=args.device)
+        if kind == "clip_b32" and want_clip:
+            if args.merges is None:
+                print("warning: CLIP score with clip_b32 needs --merges "
+                      "(CLIP BPE file); skipping the score, keeping FID")
+                want_clip = False
+            else:
+                from lantern_tpu.evals.clip_bpe import ClipTokenizer
+
+                # the reference prepends "A photo depicts " to every
+                # caption (eval_fid_clip.py:143-151)
+                tok = ClipTokenizer(args.merges)
+                extractor.tokenizer = (
+                    lambda texts: tok(texts, prepend="A photo depicts "))
 
     fake_feats = F.extract_dir_features(
         args.fake_dir, extractor, resize=args.eval_res,
@@ -94,8 +116,11 @@ def main(argv=None):
         how_many=args.how_many, batch=args.batch_size)
     fid = M.fid_from_features(ref_feats, fake_feats)
 
+    from lantern_tpu.evals.clip import CLIPExtractor
+
     clip_score = None
-    if want_clip and isinstance(extractor, F.HFClipExtractor):
+    if want_clip and isinstance(extractor, (F.HFClipExtractor,
+                                            CLIPExtractor)):
         captions = load_captions(args.caption_path, args.how_many)
         if args.fake_dir.endswith(".npz"):
             # precomputed CLIP features ARE the image embeddings

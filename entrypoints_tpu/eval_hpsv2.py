@@ -28,7 +28,20 @@ def build_parser():
     p.add_argument("--image_path", required=True)
     p.add_argument("--prompt_path", required=True, help=".tsv/.csv/.json prompts")
     p.add_argument("--clip-model-dir", default=None,
-                   help="local HF checkpoint of HPSv2 (or any CLIP) weights")
+                   help="(legacy hf_clip backbone) local HF checkpoint of "
+                        "HPSv2 (or any CLIP) weights")
+    p.add_argument("--model", default=None,
+                   help="pinned backbone weights: the HPS_v2.1 .pt release "
+                        "(or same-key .npz / HF dir) — OpenCLIP ViT-H/14 "
+                        "census, evals/clip.py VIT_H14")
+    p.add_argument("--merges", default=None,
+                   help="CLIP BPE merges file (bpe_simple_vocab_16e6.txt.gz) "
+                        "for the pinned backbone's tokenizer")
+    p.add_argument("--backbone", default="pinned",
+                   choices=["pinned", "hf_clip"],
+                   help="pinned = first-party JAX ViT-H/14 with the HPSv2.1 "
+                        "census (default); hf_clip = any local HF CLIP dir "
+                        "(proxy score, not comparable to published HPS)")
     p.add_argument("--use-hpsv2-package", action="store_true")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--device", default="cpu")
@@ -75,11 +88,35 @@ def main(argv=None):
         scores = [float(np.asarray(
             hpsv2.score(Image.open(p), t, hps_version="v2.1")).reshape(-1)[0])
             for p, t in pairs]
+    elif args.backbone == "pinned":
+        # the reference scores with HPSv2.1 specifically (eval_hpsv2.py:
+        # 17-58): an OpenCLIP ViT-H/14 fine-tune.  The pinned first-party
+        # JAX backbone (evals/clip.py VIT_H14) carries that exact census;
+        # supply the HPS_v2.1 .pt for numbers comparable to published HPS.
+        from lantern_tpu.evals.clip import VIT_H14, CLIPExtractor
+        from lantern_tpu.evals.clip_bpe import ClipTokenizer
+
+        if not args.model or not args.merges:
+            raise SystemExit(
+                "eval_hpsv2 --backbone pinned needs --model (the HPS_v2.1 "
+                ".pt / .npz, OpenCLIP ViT-H/14 census) and --merges (the "
+                "CLIP BPE merges file); or use --backbone hf_clip / "
+                "--use-hpsv2-package")
+        tok = ClipTokenizer(args.merges)
+        ex = CLIPExtractor(weights=args.model, geom=VIT_H14, tokenizer=tok,
+                           batch=args.batch_size)
+        embs = []
+        for i in range(0, len(pairs), args.batch_size):
+            chunk = F.load_images([p for p, _ in pairs[i:i + args.batch_size]])
+            embs.append(ex.image_features(chunk))
+        img_embs = np.concatenate(embs, axis=0)
+        txt_embs = ex.text_features([t for _, t in pairs])
+        scores = M.hps_from_embeddings(img_embs, txt_embs).tolist()
     else:
         if not args.clip_model_dir:
             raise SystemExit(
-                "eval_hpsv2 needs --clip-model-dir (local HPSv2/CLIP HF "
-                "checkpoint) or --use-hpsv2-package on an eval host")
+                "eval_hpsv2 --backbone hf_clip needs --clip-model-dir "
+                "(local HPSv2/CLIP HF checkpoint)")
         ex = F.HFClipExtractor(args.clip_model_dir, device=args.device,
                                prepend="")
         # load per batch: decoding tens of thousands of images up front

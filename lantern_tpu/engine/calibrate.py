@@ -116,3 +116,100 @@ def measure_rank_probs(
     probs = hits / max(total, 1)
     # optimize_tree needs strictly positive probabilities; floor at 1/total
     return np.maximum(probs, 1.0 / max(total, 2))
+
+
+def measure_stale_rank_probs(
+    params: dict,
+    cfg: ModelConfig,
+    token_prompt,
+    rng: jax.Array,
+    num_tokens: int,
+    max_rank: int = 10,
+    max_depth: int = 8,
+    cfg_scale: float = 3.0,
+    warp: LogitsWarp = LogitsWarp(),
+    logits_fn=None,
+    logits_mask=None,
+    kv_quant: bool = False,
+    num_rollouts: int = 1,
+    chunk: int = 512,
+) -> np.ndarray:
+    """Depth-dependent rank probabilities for the hidden-passthrough drafter
+    on a token-prompt (Chameleon/Lumina) model: ``[max_depth, max_rank]``.
+
+    The passthrough drafter never updates its hidden along a draft path, so
+    its proposal distribution at every level is the root's ``p_i`` — at depth
+    d the candidates are ranked by a distribution that is ``d-1`` positions
+    stale relative to the verifier's ``p_{i+d-1}``.  That staleness decay is
+    exactly measurable teacher-forced: roll out the base AR stream (with the
+    grid FSM), re-run one full forward for all-position CFG-combined logits,
+    and for each depth d histogram the rank of the actual token ``d`` steps
+    ahead within the row's FSM-masked logits (FSM evaluated at the parent
+    position ``P+d-1``, the engine's convention — models/drafter.py
+    draft_static).  Feeds ``trees.optimize_tree``'s 2-D form.
+    """
+    from ..ops.sampling import cfg_combine as _cfg_combine
+
+    rope = tfm.make_rope_tables(cfg)
+    tp = token_prompt
+    L = tp.tokens.shape[1]
+    T = num_tokens
+    head = tfm.logits_head
+
+    # one jitted kernel per chunk: eager per-op dispatch would hold several
+    # [chunk, V] f32 temporaries live at 7B geometry (OOM next to the
+    # resident params + teacher KV) and round-trip the remote tunnel per op
+    @jax.jit
+    def chunk_hits(hid_rows, P, toks_dev, t_idx):
+        lg = _cfg_combine(head(params, hid_rows), cfg_scale)[0]
+        lg = lg.astype(jnp.float32)                           # [C, V]
+        hits = jnp.zeros((max_depth, max_rank), jnp.int32)
+        tot = jnp.zeros((max_depth,), jnp.int32)
+        for d in range(1, max_depth + 1):
+            tpos = t_idx + d - 1
+            ok = tpos < toks_dev.shape[0]
+            tgt = toks_dev[jnp.clip(tpos, 0, toks_dev.shape[0] - 1)]
+            ml = lg
+            if logits_mask is not None:
+                ml = jnp.where(logits_mask, jnp.finfo(jnp.float32).min, ml)
+            if logits_fn is not None:
+                ml = logits_fn(ml, P + d - 1)
+            tv = jnp.take_along_axis(ml, tgt[:, None], axis=1)
+            ranks = jnp.sum(ml > tv, axis=1)
+            oh = (ranks[:, None] == jnp.arange(max_rank)[None]) & ok[:, None]
+            hits = hits.at[d - 1].add(oh.sum(0))
+            tot = tot.at[d - 1].add(ok.sum())
+        return hits, tot
+
+    hits = np.zeros((max_depth, max_rank), np.int64)
+    totals = np.zeros(max_depth, np.int64)
+    for i in range(num_rollouts):
+        key = jax.random.fold_in(rng, i)
+        res = ar.generate_tokens(params, cfg, tp, T, cfg_scale, warp, key,
+                                 logits_mask=logits_mask, logits_fn=logits_fn,
+                                 kv_quant=kv_quant)
+        toks = res.tokens                                     # [T]
+        res = None          # free the rollout's KV cache before the teacher
+        full = jnp.concatenate(
+            [tp.tokens, jnp.broadcast_to(toks[None], (2, T))], axis=1)
+        last_pos = tp.positions[:, -1]
+        gen_pos = last_pos[:, None] + 1 + jnp.arange(T)[None]
+        positions = jnp.concatenate([tp.positions, gen_pos], axis=1)
+        valid = jnp.concatenate([tp.valid, jnp.ones((2, T), bool)], axis=1)
+        block = jnp.tril(jnp.ones((L + T, L + T), bool))[None] & valid[:, None, :]
+        kv = KVCache.create(cfg, 2, max_len=L + T, quantized=kv_quant)
+        hid = tfm.forward(params, cfg, tfm.token_embed(params, full), kv,
+                          positions, rope, block_mask=block,
+                          commit=False).hidden                # [2, L+T, H]
+        kv = None
+        # row L-1+t emits the distribution that scores toks[t] at depth 1
+        cond_pos = positions[0]
+        for lo in range(0, T, chunk):
+            hi = min(lo + chunk, T)
+            rows = jnp.arange(L - 1 + lo, L - 1 + hi)
+            h, t = chunk_hits(hid[:, rows], cond_pos[rows], toks,
+                              jnp.arange(lo, hi))
+            hits += np.asarray(h, np.int64)
+            totals += np.asarray(t, np.int64)
+    probs = hits / np.maximum(totals, 1)[:, None]
+    return np.maximum(probs, 1.0 / max(int(totals.max()), 2))

@@ -478,7 +478,24 @@ class ChameleonSession:
                 reqs.append(Request(uid=i, seed=seed + i,
                                     error=f"{type(e).__name__}: {e}"))
         if tree == "auto":
-            tree = "mc_sim_7b_63" if slots < 4 else "chain_bush_8"
+            # measured crossover table (engine/policy.py): 7B token-prompt
+            # geometry is KV-bound, so speculation survives to much larger
+            # slot counts than at XL
+            from .policy import serving_plan
+
+            pmode, ptree = serving_plan(slots, geometry="lumina_7b")
+            if pmode == "ar":
+                return self._generate_batch_ar_tokens(
+                    prompts, slots, max_new, cfg_scale, warp, seed, kv_quant,
+                    grid)
+            tree = ptree
+            if tree == "calibrated":
+                import os as _os
+
+                sel = _os.path.join(_os.path.dirname(_os.path.dirname(
+                    _os.path.dirname(_os.path.abspath(__file__)))),
+                    "ckpts/bench_tree_lumina.json")
+                tree = sel if _os.path.exists(sel) else "chain_bush_8"
         mask = jnp.asarray(cham.non_image_token_mask(cfg.vocab_size))
         logits_fn = None
         if self.family == "lumina" and lens:

@@ -195,6 +195,19 @@ def make_extractor(kind: str, model_dir: Optional[str] = None,
         from .vgg import VGGExtractor
 
         return VGGExtractor(weights=model_dir)
+    if kind == "clip_b32":
+        # the pinned CLIP-score / clip-FID backbone: first-party JAX
+        # OpenAI-CLIP ViT-B/32 (evals/clip.py); model_dir = OpenAI .pt /
+        # .npz / HF CLIPModel dir
+        from .clip import VIT_B32, CLIPExtractor
+
+        return CLIPExtractor(weights=model_dir, geom=VIT_B32)
+    if kind == "hps_v21":
+        # the pinned HPSv2.1 backbone: OpenCLIP ViT-H/14 census
+        # (evals/clip.py); model_dir = the HPS_v2.1 .pt (or .npz)
+        from .clip import VIT_H14, CLIPExtractor
+
+        return CLIPExtractor(weights=model_dir, geom=VIT_H14)
     if kind in ("vgg16", "inception"):
         return TorchvisionExtractor(kind, device=device)
     raise ValueError(f"unknown extractor {kind}")

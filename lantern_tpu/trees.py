@@ -383,25 +383,43 @@ def optimize_tree(
     best-first expansion yields the optimum (the construction behind the
     published mc_sim shapes, applied to *your* drafter/model pair).
 
+    ``rank_probs`` may also be a 2-D ``[depth][rank]`` matrix: row d gives
+    the rank probabilities for depth-(d+1) nodes.  A drafter whose proposal
+    quality decays with depth (e.g. the hidden-passthrough drafter, whose
+    staleness grows one position per level — PERF.md "Lumina drafter study")
+    is misfit by the flat product model, which overestimates deep paths;
+    depth-dependent rows keep best-first expansion optimal because a child's
+    path probability still never exceeds its parent's.  Depths beyond the
+    matrix reuse the last row.
+
     Returns a path list compatible with ``compile_tree`` / ``get_tree``.
     """
     import heapq
 
-    probs = [float(p) for p in rank_probs]
-    if not probs or num_nodes < 1:
+    import numpy as _np
+
+    probs = _np.asarray(rank_probs, dtype=float)
+    if probs.ndim == 1:
+        probs = probs[None]                       # one row, reused per depth
+    if probs.size == 0 or num_nodes < 1:
         raise ValueError("need at least one rank probability and one node")
-    if any(p <= 0 or p > 1 for p in probs):
-        raise ValueError(f"rank_probs must be in (0, 1], got {probs}")
+    if ((probs <= 0) | (probs > 1)).any():
+        raise ValueError(f"rank_probs must be in (0, 1], got {probs.tolist()}")
+    R = probs.shape[1]
+
+    def row(depth):                               # depth-(d+1) node probs
+        return probs[min(depth, probs.shape[0] - 1)]
+
     # heap of (-path_prob, path); seed with depth-1 candidates
-    heap = [(-probs[r], (r,)) for r in range(len(probs))]
+    heap = [(-row(0)[r], (r,)) for r in range(R)]
     heapq.heapify(heap)
     chosen: List[Path] = []
     while heap and len(chosen) < num_nodes:
         neg_p, path = heapq.heappop(heap)
         chosen.append(list(path))
         if len(path) < max_depth:
-            for r in range(len(probs)):
-                heapq.heappush(heap, (neg_p * probs[r], path + (r,)))
+            for r in range(R):
+                heapq.heappush(heap, (neg_p * row(len(path))[r], path + (r,)))
     return sort_paths(chosen)
 
 

@@ -62,17 +62,29 @@ def main():
                          "acceptance at ~2x step cost per extra level)")
     ap.add_argument("--init", choices=("passthrough", "random"),
                     default="passthrough",
-                    help="passthrough: fc = [0; I] so the drafter starts as "
-                         "the hidden-passthrough identity (self-rollout "
-                         "compression ~1.96 at step 0) and training learns "
-                         "the h_i -> h_{i+1} correction.  random-init "
+                    help="passthrough: fc = [0; I] so the drafter starts "
+                         "approximately at the hidden-passthrough identity "
+                         "(the 0.02-scale random decoder layer stays live, "
+                         "so step-0 behavior is near, not equal to, the "
+                         "bench's zero-layer passthrough) and training "
+                         "learns the h_i -> h_{i+1} correction.  random-init "
                          "measured 1.03 after 6 epochs at this geometry — "
                          "the 4096h/65536V random-base hidden map is not "
                          "learnable from scratch on 96 traces.")
     ap.add_argument("--eval-rollouts", type=int, default=2)
     ap.add_argument("--bench-layers", type=int, default=0,
                     help="override num_layers for smoke runs (0 = full 7B)")
-    ap.add_argument("--out", default="ckpts/bench_drafter_lumina")
+    # NOT the bench's auto-loaded path: bench.py prefers
+    # ckpts/bench_drafter_lumina.npz over the passthrough, and on a
+    # random-weight base every trained variant measured WORSE (PERF.md
+    # "Lumina drafter study") — so the trained npz is only promoted there
+    # when its phase-3 self-rollout compression beats --promote-above.
+    ap.add_argument("--out", default="ckpts/lumina_drafter_candidate")
+    ap.add_argument("--promote-above", type=float, default=1.96,
+                    help="promote the npz to ckpts/bench_drafter_lumina.npz "
+                         "only if eval compression exceeds this (the "
+                         "measured passthrough baseline at bench geometry); "
+                         "<=0 disables promotion")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcache")
@@ -374,8 +386,21 @@ def main():
             step_sum += float(res.steps)
             note(f"rollout {i}: compression so far "
                  f"{acc_sum / max(step_sum, 1):.3f}")
-        note(f"self-rollout step_compression = {acc_sum / max(step_sum, 1):.4f} "
+        comp = acc_sum / max(step_sum, 1)
+        note(f"self-rollout step_compression = {comp:.4f} "
              f"(tree={TREE}, lantern k=10 d=5)")
+        bench_npz = os.path.join(os.path.dirname(os.path.abspath(args.out)),
+                                 "bench_drafter_lumina.npz")
+        if args.promote_above > 0 and comp > args.promote_above:
+            import shutil
+
+            shutil.copyfile(args.out + ".npz", bench_npz)
+            note(f"PROMOTED to {bench_npz} "
+                 f"(compression {comp:.3f} > {args.promote_above})")
+        elif args.promote_above > 0:
+            note(f"NOT promoted: compression {comp:.3f} <= "
+                 f"{args.promote_above} (passthrough baseline); bench keeps "
+                 "the passthrough drafter")
 
 
 if __name__ == "__main__":

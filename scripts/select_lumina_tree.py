@@ -34,6 +34,13 @@ def main():
     ap.add_argument("--runs", type=int, default=1,
                     help="timed rollouts per tree (each is a full image)")
     ap.add_argument("--out", default="ckpts/bench_tree_lumina.json")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="measure depth-dependent (stale) rank probs at this "
+                    "geometry and add optimize_tree candidates at --budgets")
+    ap.add_argument("--budgets", default="16:10,32:10,63:8",
+                    help="nodes:max_depth list for calibrated candidates")
+    ap.add_argument("--probe-tokens", type=int, default=0,
+                    help="tokens for the calibration rollout (0 = full image)")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +68,13 @@ def main():
     prompt_len = len(TEXT) + 3
     cfg = configs.chameleon_7b_config(
         max_seq_len=prompt_len + MAX_NEW + 74, swin_norm=True)
+    if "BENCH_LUMINA_LAYERS" in os.environ:     # scaled-down smoke runs
+        H = int(os.environ.get("BENCH_LUMINA_H", 4096))
+        cfg = dataclasses.replace(
+            cfg, num_layers=int(os.environ["BENCH_LUMINA_LAYERS"]),
+            hidden_size=H,
+            intermediate_size=int(os.environ.get("BENCH_LUMINA_I", 11008)),
+            num_heads=H // 128, num_kv_heads=H // 128)
     ck = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "ckpts/bench_drafter_lumina.npz")
     d_layers = 1
@@ -106,9 +120,30 @@ def main():
     fsm = cham.LuminaGridFSM(w=GRID, h=GRID, image_start_idx=len(TEXT),
                              vocab_size=cfg.vocab_size)
 
+    candidates = {name: name for name in args.trees.split(",") if name}
+    if args.calibrate:
+        from lantern_tpu.engine.calibrate import measure_stale_rank_probs
+
+        max_depth = max(int(b.split(":")[1]) for b in args.budgets.split(","))
+        probs = measure_stale_rank_probs(
+            params, cfg, tp, jax.random.key(77),
+            num_tokens=args.probe_tokens or MAX_NEW,
+            max_rank=10, max_depth=max_depth, cfg_scale=3.0, warp=warp,
+            logits_fn=fsm, kv_quant=True)
+        note("stale rank probs (rows=depth):")
+        for d, row in enumerate(probs):
+            note(f"  d={d + 1}: {np.round(row, 3).tolist()}")
+        for b in args.budgets.split(","):
+            nodes, depth = (int(x) for x in b.split(":"))
+            paths = trees.optimize_tree(probs, num_nodes=nodes,
+                                        max_depth=depth)
+            candidates[f"calib_{nodes}n_d{depth}"] = [list(p) for p in paths]
+
     results = {}
-    for name in args.trees.split(","):
-        tree = trees.get_tree(name)
+    paths_by_name = {}
+    for name, shape in candidates.items():
+        tree = trees.get_tree(shape)
+        paths_by_name[name] = [list(p) for p in tree.paths]
         ecfg = spec.SpecDecodeConfig(
             warp=warp, cfg_scale=3.0, lantern=LanternSpec(k=10, delta=5.0),
             max_new=MAX_NEW, mode="static", kv_quant=True,
@@ -140,13 +175,11 @@ def main():
     if results:
         winner = max(results, key=lambda k: results[k]["tok_s"])
         note(f"winner: {winner}")
-        if winner != "chain_bush_8":
-            from lantern_tpu.trees import TREE_LIBRARY
-
-            with open(args.out, "w") as f:
-                json.dump([list(p) for p in TREE_LIBRARY[winner]], f)
-            note(f"wrote {args.out} "
-                 "(set BENCH_LUMINA_TREE or let bench pick it up)")
+        with open(args.out, "w") as f:
+            json.dump({"paths": paths_by_name[winner], "selected": winner,
+                       "grid": GRID, "results": results}, f, indent=1)
+        note(f"wrote {args.out} "
+             "(set BENCH_LUMINA_TREE or let bench pick it up)")
 
 
 if __name__ == "__main__":

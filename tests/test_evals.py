@@ -186,6 +186,11 @@ class TestCLI:
         r = self._run(["eval_hpsv2", "--image_path", str(img_dir),
                        "--prompt_path", pp])
         assert r.returncode != 0
+        # pinned HPSv2.1 backbone is the default; the error names its inputs
+        assert "--model" in (r.stdout + r.stderr)
+        r = self._run(["eval_hpsv2", "--image_path", str(img_dir),
+                       "--prompt_path", pp, "--backbone", "hf_clip"])
+        assert r.returncode != 0
         assert "clip-model-dir" in (r.stdout + r.stderr)
 
 
@@ -337,3 +342,173 @@ class TestVGG16Backbone:
         del sd["features.12.bias"]
         with pytest.raises(ValueError, match="missing"):
             vgg.params_from_torch(sd)
+
+
+class TestClipBackbone:
+    """Pinned CLIP ViT-B/32 (CLIP score) and ViT-H/14 (HPSv2.1) backbones —
+    census + numeric parity vs transformers CLIPModel as torch oracle."""
+
+    def test_census_matches_hf_vit_b32(self):
+        # transformers' default CLIPConfig IS ViT-B/32; its converted state
+        # dict must match our pinned census key-for-key, shape-for-shape
+        import torch
+        from transformers import CLIPConfig, CLIPModel
+
+        from lantern_tpu.evals import clip as C
+
+        with torch.device("meta"):        # shapes only, no 600MB alloc
+            model = CLIPModel(CLIPConfig())
+        sd = {k: np.zeros(tuple(v.shape), np.float32)
+              for k, v in model.state_dict().items()
+              if "position_ids" not in k}
+        conv = C.hf_to_openai(sd)
+        exp = C.expected_state_dict_shapes(C.VIT_B32)
+        assert set(conv) == set(exp)
+        for k, s in exp.items():
+            assert tuple(np.shape(conv[k])) == s, k
+
+    def test_h14_census_structure(self):
+        from lantern_tpu.evals import clip as C
+
+        exp = C.expected_state_dict_shapes(C.VIT_H14)
+        assert exp["visual.positional_embedding"] == (257, 1280)
+        assert exp["visual.conv1.weight"] == (1280, 3, 14, 14)
+        assert exp["visual.proj"] == (1280, 1024)
+        assert exp["text_projection"] == (1024, 1024)
+        assert sum(1 for k in exp
+                   if k.startswith("visual.transformer.resblocks")) == 32 * 12
+        # loaders keep the pinned census honest
+        sd = {k: np.zeros(s, np.float32) for k, s in exp.items()}
+        C.params_from_openai(sd, C.VIT_H14)
+        with pytest.raises(ValueError, match="missing"):
+            C.params_from_openai({k: v for k, v in sd.items()
+                                  if k != "visual.proj"}, C.VIT_H14)
+
+    def test_numeric_parity_vs_hf_clip(self):
+        import torch
+        from transformers import CLIPConfig, CLIPModel
+        from transformers import CLIPTextConfig, CLIPVisionConfig
+
+        from lantern_tpu.evals import clip as C
+
+        geom = C.CLIPGeom(vision_width=64, vision_layers=2, vision_heads=4,
+                          patch=16, image_size=64, embed_dim=32,
+                          text_width=48, text_layers=2, text_heads=4,
+                          vocab=128, ctx=16, quick_gelu=True)
+        cfgv = CLIPVisionConfig(hidden_size=64, intermediate_size=256,
+                                num_hidden_layers=2, num_attention_heads=4,
+                                image_size=64, patch_size=16,
+                                hidden_act="quick_gelu")
+        # eos_token_id must be the max id so HF's eos-pooling coincides with
+        # the OpenAI argmax-pooling convention our encode_text implements
+        cfgt = CLIPTextConfig(hidden_size=48, intermediate_size=192,
+                              num_hidden_layers=2, num_attention_heads=4,
+                              vocab_size=128, max_position_embeddings=16,
+                              hidden_act="quick_gelu", eos_token_id=127)
+        torch.manual_seed(0)
+        model = CLIPModel(CLIPConfig(text_config=cfgt.to_dict(),
+                                     vision_config=cfgv.to_dict(),
+                                     projection_dim=32)).eval()
+        sd = {k: v.numpy() for k, v in model.state_dict().items()
+              if "position_ids" not in k}
+        params = C.params_from_openai(C.hf_to_openai(sd), geom)
+
+        rng = np.random.default_rng(0)
+        imgs = rng.random((2, 64, 64, 3)).astype(np.float32)
+        toks = np.zeros((2, 16), np.int64)
+        toks[0, :5] = [1, 7, 9, 4, 127]
+        toks[1, :3] = [1, 20, 127]
+
+        with torch.no_grad():
+            x = (imgs - C.CLIP_MEAN) / C.CLIP_STD
+            ref_img = model.get_image_features(
+                torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+            ref_txt = model.get_text_features(torch.from_numpy(toks)).numpy()
+
+        got_img = np.asarray(C.encode_image(params, imgs, geom))
+        got_txt = np.asarray(C.encode_text(params, toks, geom))
+        np.testing.assert_allclose(got_img, ref_img, atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(got_txt, ref_txt, atol=2e-4, rtol=1e-3)
+
+    def test_extractor_and_cosine(self):
+        from lantern_tpu.evals import clip as C
+
+        geom = C.CLIPGeom(vision_width=32, vision_layers=1, vision_heads=2,
+                          patch=16, image_size=32, embed_dim=16,
+                          text_width=32, text_layers=1, text_heads=2,
+                          vocab=64, ctx=8)
+        ex = C.CLIPExtractor(weights=None, geom=geom)
+        rng = np.random.default_rng(1)
+        feats = ex.image_features(
+            (rng.random((3, 48, 40, 3)) * 255).astype(np.uint8))
+        assert feats.shape == (3, 16)
+        cos = np.asarray(C.cosine_scores(feats, feats))
+        np.testing.assert_allclose(cos, 1.0, atol=1e-5)
+
+
+class TestClipTokenizer:
+    def _merges(self):
+        # synthetic merges over the byte alphabet: enough to exercise the
+        # greedy lowest-rank loop, word-end markers, and the cache
+        return [("h", "e"), ("l", "l"), ("o</w>", ""), ("he", "ll"),
+                ("t", "h"), ("th", "e</w>")]
+
+    def test_matches_transformers_tokenizer(self, tmp_path):
+        import json as _json
+
+        from transformers import CLIPTokenizer
+
+        from lantern_tpu.evals.clip_bpe import ClipTokenizer
+
+        merges = [("h", "e"), ("l", "l"), ("he", "ll"), ("t", "h"),
+                  ("th", "e</w>"), ("hell", "o</w>")]
+        tok = ClipTokenizer(merges, ctx=16)
+        vocab_file = tmp_path / "vocab.json"
+        vocab_file.write_text(_json.dumps(tok.encoder))
+        merges_file = tmp_path / "merges.txt"
+        merges_file.write_text(
+            "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges))
+        hf = CLIPTokenizer(str(vocab_file), str(merges_file),
+                           model_max_length=16)
+        for text in ("hello the hell", "The HELLO!", "a b  c", "th th th"):
+            got = tok([text])[0].tolist()
+            ref = hf(text, truncation=True, max_length=16)["input_ids"]
+            # OpenAI pads with zeros (HF's pad token is EOT); compare the
+            # real ids and check our zero tail
+            assert got[: len(ref)] == ref, (text, got, ref)
+            assert all(x == 0 for x in got[len(ref):]), (text, got)
+
+    def test_prepend_splice(self):
+        from lantern_tpu.evals.clip_bpe import ClipTokenizer
+
+        tok = ClipTokenizer([("h", "e")], ctx=8)
+        plain = tok(["hello"])[0]
+        spliced = tok(["hello"], prepend="the")[0]
+        assert spliced[0] == tok.sot
+        # prepend ids sit between SOT and the text ids
+        pre = tok.encode("the")
+        assert spliced[1: 1 + len(pre)].tolist() == pre
+        assert plain[0] == tok.sot
+
+
+class TestPinnedCliWiring:
+    def test_fid_clip_b32_requires_weights(self, tmp_path):
+        from entrypoints_tpu import eval_fid_clip as E
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        with pytest.raises(SystemExit, match="clip_b32 needs"):
+            E.main(["--fake_dir", str(d), "--ref_dir", str(d)])
+
+    def test_hpsv2_pinned_requires_model_and_merges(self, tmp_path):
+        from PIL import Image
+
+        from entrypoints_tpu import eval_hpsv2 as E
+
+        d = tmp_path / "imgs"
+        d.mkdir()
+        Image.new("RGB", (32, 32)).save(d / "image_0.png")
+        pp = tmp_path / "prompts.json"
+        pp.write_text(json.dumps(["a cat"]))
+        with pytest.raises(SystemExit, match="pinned needs --model"):
+            E.main(["--image_path", str(d), "--prompt_path", str(pp)])
