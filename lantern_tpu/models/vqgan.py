@@ -469,3 +469,76 @@ def load_taming_state_dict(sd: dict, cfg: VQGANConfig) -> dict:
         "post_quant_conv": conv("post_quant_conv"),
         "codebook": jnp.asarray(sd["quantize.embedding.weight"]),
     }
+
+
+def random_taming_state_dict(cfg: VQGANConfig, seed: int = 0) -> dict:
+    """Random numpy state dict in the exact taming-transformers naming
+    ``load_taming_state_dict`` consumes — the synthetic-checkpoint
+    counterpart for full-size loader rehearsals (no public VQGAN weights in
+    a zero-egress environment; scripts/rehearse_full_ckpt.py)."""
+    rng = np.random.default_rng(seed)
+    sd: dict = {}
+
+    def conv(prefix, cout, cin, k):
+        sd[prefix + ".weight"] = (rng.standard_normal((cout, cin, k, k))
+                                  * 0.02).astype(np.float32)
+        sd[prefix + ".bias"] = np.zeros((cout,), np.float32)
+
+    def gn(prefix, c):
+        sd[prefix + ".weight"] = np.ones((c,), np.float32)
+        sd[prefix + ".bias"] = np.zeros((c,), np.float32)
+
+    def res(prefix, cin, cout):
+        gn(prefix + ".norm1", cin)
+        conv(prefix + ".conv1", cout, cin, 3)
+        gn(prefix + ".norm2", cout)
+        conv(prefix + ".conv2", cout, cout, 3)
+        if cin != cout:
+            conv(prefix + ".nin_shortcut", cout, cin, 1)
+
+    def attn(prefix, c):
+        gn(prefix + ".norm", c)
+        for nm in ("q", "k", "v", "proj_out"):
+            conv(prefix + "." + nm, c, c, 1)
+
+    nr = len(cfg.ch_mult)
+    in_mult = (1,) + tuple(cfg.ch_mult)
+    conv("encoder.conv_in", cfg.ch, cfg.in_channels, 3)
+    for i in range(nr):
+        cin, cout = cfg.ch * in_mult[i], cfg.ch * cfg.ch_mult[i]
+        for j in range(cfg.num_res_blocks):
+            res(f"encoder.down.{i}.block.{j}", cin, cout)
+            cin = cout
+            if cfg.enc_attn(i):
+                attn(f"encoder.down.{i}.attn.{j}", cout)
+        if i != nr - 1:
+            conv(f"encoder.down.{i}.downsample.conv", cout, cout, 3)
+    bi = cfg.ch * cfg.ch_mult[-1]
+    res("encoder.mid.block_1", bi, bi)
+    attn("encoder.mid.attn_1", bi)
+    res("encoder.mid.block_2", bi, bi)
+    gn("encoder.norm_out", bi)
+    conv("encoder.conv_out", cfg.z_channels, bi, 3)
+
+    conv("decoder.conv_in", bi, cfg.z_channels, 3)
+    res("decoder.mid.block_1", bi, bi)
+    attn("decoder.mid.attn_1", bi)
+    res("decoder.mid.block_2", bi, bi)
+    cin = bi
+    for i in reversed(range(nr)):
+        cout = cfg.ch * cfg.ch_mult[i]
+        for j in range(cfg.num_res_blocks + 1):
+            res(f"decoder.up.{i}.block.{j}", cin, cout)
+            cin = cout
+            if cfg.enc_attn(i):
+                attn(f"decoder.up.{i}.attn.{j}", cout)
+        if i != 0:
+            conv(f"decoder.up.{i}.upsample.conv", cout, cout, 3)
+    gn("decoder.norm_out", cin)
+    conv("decoder.conv_out", cfg.out_channels, cin, 3)
+    conv("quant_conv", cfg.codebook_dim, cfg.z_channels, 1)
+    conv("post_quant_conv", cfg.z_channels, cfg.codebook_dim, 1)
+    sd["quantize.embedding.weight"] = (
+        rng.standard_normal((cfg.codebook_size, cfg.codebook_dim))
+        .astype(np.float32))
+    return sd
