@@ -158,9 +158,11 @@ def measure_stale_rank_probs(
 
     # one jitted kernel per chunk: eager per-op dispatch would hold several
     # [chunk, V] f32 temporaries live at 7B geometry (OOM next to the
-    # resident params + teacher KV) and round-trip the remote tunnel per op
+    # resident params + teacher KV) and round-trip the remote tunnel per op.
+    # params MUST be an argument, not a closure capture — jit bakes captured
+    # concrete arrays in as program constants, copying all 7 GB to host
     @jax.jit
-    def chunk_hits(hid_rows, P, toks_dev, t_idx):
+    def chunk_hits(params, hid_rows, P, toks_dev, t_idx):
         lg = _cfg_combine(head(params, hid_rows), cfg_scale)[0]
         lg = lg.astype(jnp.float32)                           # [C, V]
         hits = jnp.zeros((max_depth, max_rank), jnp.int32)
@@ -207,7 +209,7 @@ def measure_stale_rank_probs(
         for lo in range(0, T, chunk):
             hi = min(lo + chunk, T)
             rows = jnp.arange(L - 1 + lo, L - 1 + hi)
-            h, t = chunk_hits(hid[:, rows], cond_pos[rows], toks,
+            h, t = chunk_hits(params, hid[:, rows], cond_pos[rows], toks,
                               jnp.arange(lo, hi))
             hits += np.asarray(h, np.int64)
             totals += np.asarray(t, np.int64)

@@ -38,6 +38,19 @@ def read_jsonl(path: str) -> List[dict]:
 def read_annotations(path: str) -> List[dict]:
     if path.endswith(".jsonl"):
         return read_jsonl(path)
+    if path.endswith(".pkl"):
+        import pickle
+
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        assert isinstance(data, list)
+        return data
+    if path.endswith(".pth"):
+        import torch
+
+        data = torch.load(path, weights_only=False)
+        assert isinstance(data, list)
+        return list(data)
     with open(path) as f:
         data = json.load(f)
     if isinstance(data, dict):
@@ -55,7 +68,9 @@ class MetaDataset:
     else the whitespace token count of ``item["text"]``.
     """
 
-    def __init__(self, meta_config):
+    def __init__(self, meta_config, cache_on_disk: bool = False,
+                 cache_dir: Optional[str] = None, rank: int = 0,
+                 cache_timeout_s: float = 600.0):
         if isinstance(meta_config, str):
             base = os.path.dirname(os.path.abspath(meta_config))
             with open(meta_config) as f:
@@ -65,6 +80,19 @@ class MetaDataset:
                     m["path"] = os.path.join(base, m["path"])
         else:
             metas = list(meta_config)
+        self._h5 = None
+        self._anns = None
+        if cache_on_disk:
+            # the reference's h5 annotation cache (xllmx/data/dataset.py:
+            # 97-146): rank 0 serializes every annotation list into
+            # ``data.h5`` vlen-str datasets plus the meta json and drops a
+            # ``ready`` marker; other ranks wait for the marker and read
+            # lazily — annotations never fully materialize in RAM
+            if cache_dir is None:
+                raise ValueError("cache_on_disk needs cache_dir")
+            self._init_from_cache(metas, cache_dir, rank,
+                                  timeout_s=cache_timeout_s)
+            return
         self.meta_collection: List[Dict] = []
         self.items: List[dict] = []
         for m in metas:
@@ -76,6 +104,47 @@ class MetaDataset:
                 "item_len_list": [self._item_len(a) for a in ann],
             })
             self.items.extend(ann)
+
+    def _init_from_cache(self, metas, cache_dir: str, rank: int,
+                         timeout_s: float = 600.0):
+        import time as _time
+
+        import h5py
+
+        h5_path = os.path.join(cache_dir, "data.h5")
+        ready = os.path.join(cache_dir, "ready")
+        if rank == 0 and not (os.path.exists(h5_path)
+                              and os.path.exists(ready)):
+            os.makedirs(cache_dir, exist_ok=True)
+            metas_out = []
+            with h5py.File(h5_path, "w") as f:
+                dt = h5py.vlen_dtype(str)
+                for i, m in enumerate(metas):
+                    ann = read_annotations(m["path"])
+                    ds = f.create_dataset(f"ann{i}", (len(ann),), dtype=dt)
+                    ds[:] = [json.dumps(a) for a in ann]
+                    metas_out.append({
+                        "type": m.get("type", "default"),
+                        "ratio": float(m.get("ratio", 1.0)),
+                        "len": len(ann),
+                        "item_len_list": [self._item_len(a) for a in ann],
+                    })
+                f.create_dataset("meta_collection",
+                                 data=json.dumps(metas_out))
+            with open(ready, "w") as f:
+                f.write("ready")
+        t0 = _time.time()
+        while not os.path.exists(ready):
+            if rank == 0 or _time.time() - t0 > timeout_s:
+                raise FileNotFoundError(f"h5 cache never became ready under "
+                                        f"{cache_dir}")
+            _time.sleep(1.0)
+        self._h5 = h5py.File(h5_path, "r")
+        self.meta_collection = json.loads(
+            self._h5["meta_collection"].asstr()[()])
+        self._anns = [self._h5[f"ann{i}"]
+                      for i in range(len(self.meta_collection))]
+        self.items = None  # lazy: __getitem__ decodes from h5 on access
 
     @staticmethod
     def _item_len(item: dict) -> int:
@@ -91,10 +160,20 @@ class MetaDataset:
         return 1
 
     def __len__(self):
-        return len(self.items)
+        if self.items is not None:
+            return len(self.items)
+        return sum(m["len"] for m in self.meta_collection)
 
     def __getitem__(self, idx):
-        return self.items[idx]
+        if self.items is not None:
+            return self.items[idx]
+        if idx < 0:
+            idx += len(self)
+        for i, m in enumerate(self.meta_collection):
+            if idx < m["len"]:
+                return json.loads(self._anns[i][idx])
+            idx -= m["len"]
+        raise IndexError(idx)
 
 
 def mild_shuffle(indices: Sequence[int], shuffle_factor: float,

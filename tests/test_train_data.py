@@ -112,3 +112,51 @@ def test_pad_batch_buckets():
     assert out.shape == (2, 4)
     np.testing.assert_array_equal(out[1], [4, 9, 9, 9])
     assert mask.sum() == 4
+
+
+def test_h5_annotation_cache(tmp_path):
+    """The reference's on-disk h5 annotation cache (xllmx/data/dataset.py:
+    97-146): rank 0 builds data.h5 + ready, readers decode items lazily;
+    a second rank-1 open sees the same items without the source files."""
+    from lantern_tpu.train.data import MetaDataset
+
+    ann = [{"tokens": list(range(3 + i)), "type": "t"} for i in range(7)]
+    src = tmp_path / "a.jsonl"
+    src.write_text("\n".join(json.dumps(a) for a in ann))
+    meta = [{"path": str(src), "type": "text", "ratio": 1.0}]
+    cache = tmp_path / "cache"
+
+    ds = MetaDataset(meta, cache_on_disk=True, cache_dir=str(cache), rank=0)
+    assert (cache / "data.h5").exists() and (cache / "ready").exists()
+    assert len(ds) == 7
+    assert ds[2] == ann[2]
+    assert ds[-1] == ann[-1]
+    assert ds.meta_collection[0]["item_len_list"] == [3 + i for i in range(7)]
+
+    # a non-zero rank must not rebuild; items identical, source removable
+    src.unlink()
+    ds2 = MetaDataset(meta, cache_on_disk=True, cache_dir=str(cache), rank=1)
+    assert [ds2[i] for i in range(7)] == ann
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        MetaDataset(meta, cache_on_disk=True, cache_dir=str(tmp_path / "x"),
+                    rank=1, cache_timeout_s=1.0)
+
+
+
+def test_pkl_and_pth_annotations(tmp_path):
+    import pickle
+
+    import torch
+
+    from lantern_tpu.train.data import read_annotations
+
+    ann = [{"text": "a b c"}, {"text": "d"}]
+    p = tmp_path / "a.pkl"
+    p.write_bytes(pickle.dumps(ann))
+    assert read_annotations(str(p)) == ann
+    q = tmp_path / "a.pth"
+    torch.save(ann, str(q))
+    assert read_annotations(str(q)) == ann
