@@ -183,6 +183,21 @@ def measure_stale_rank_probs(
             tot = tot.at[d - 1].add(ok.sum())
         return hits, tot
 
+    # teacher forward runs as CHUNKED committed prefill: one full-sequence
+    # dense-attention forward at 7B geometry materializes multi-GB score
+    # tensors next to the resident params and OOMs; fixed-size segments
+    # compile once and keep the attention workspace at [2, nh, seg, S]
+    seg = chunk
+
+    @jax.jit
+    def seg_fwd(params, kv, toks_seg, pos_seg, valid_seg, pv):
+        block = (jnp.tril(jnp.ones((seg, seg), bool))[None]
+                 & valid_seg[:, None, :])
+        res = tfm.forward(params, cfg, tfm.token_embed(params, toks_seg), kv,
+                          pos_seg, rope, block_mask=block, prefix_valid=pv,
+                          commit=True)
+        return res.hidden, res.kv
+
     hits = np.zeros((max_depth, max_rank), np.int64)
     totals = np.zeros(max_depth, np.int64)
     for i in range(num_rollouts):
@@ -198,11 +213,21 @@ def measure_stale_rank_probs(
         gen_pos = last_pos[:, None] + 1 + jnp.arange(T)[None]
         positions = jnp.concatenate([tp.positions, gen_pos], axis=1)
         valid = jnp.concatenate([tp.valid, jnp.ones((2, T), bool)], axis=1)
-        block = jnp.tril(jnp.ones((L + T, L + T), bool))[None] & valid[:, None, :]
-        kv = KVCache.create(cfg, 2, max_len=L + T, quantized=kv_quant)
-        hid = tfm.forward(params, cfg, tfm.token_embed(params, full), kv,
-                          positions, rope, block_mask=block,
-                          commit=False).hidden                # [2, L+T, H]
+        n_full = full.shape[1]
+        pad = (-n_full) % seg
+        full_p = jnp.pad(full, ((0, 0), (0, pad)))
+        pos_p = jnp.pad(positions, ((0, 0), (0, pad)), mode="edge")
+        valid_p = jnp.pad(valid, ((0, 0), (0, pad)))
+        kv = KVCache.create(cfg, 2, max_len=n_full + pad, quantized=kv_quant)
+        pv = jnp.pad(valid_p, ((0, 0), (0, kv.max_len - valid_p.shape[1])),
+                     constant_values=True)
+        parts = []
+        for lo in range(0, n_full + pad, seg):
+            h, kv = seg_fwd(params, kv, full_p[:, lo:lo + seg],
+                            pos_p[:, lo:lo + seg], valid_p[:, lo:lo + seg],
+                            pv)
+            parts.append(h)
+        hid = jnp.concatenate(parts, axis=1)[:, :n_full]      # [2, L+T, H]
         kv = None
         # row L-1+t emits the distribution that scores toks[t] at depth 1
         cond_pos = positions[0]

@@ -34,10 +34,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="XL")
+    ap.add_argument("--geom", default="xl", choices=["xl", "lumina"],
+                    help="xl = LlamaGen --size; lumina = Chameleon-7B-class "
+                         "north-star geometry (32L x 4096h, vocab 65536, "
+                         "2.4K-token KV)")
     ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--tokens", type=int, default=256)
-    ap.add_argument("--prefix", type=int, default=248,
-                    help="simulated committed KV length (cls 120 + half image)")
+    ap.add_argument("--prefix", type=int, default=-1,
+                    help="simulated committed KV length (-1: geometry "
+                         "default — XL 248 = cls 120 + half image, lumina "
+                         "1200 = mid-image)")
+    ap.add_argument("--quant", default=None, choices=["int8", "none"],
+                    help="W8A16 weights (default: int8 at lumina geometry, "
+                         "none at XL — matching the r2 PERF.md table)")
+    ap.add_argument("--kv", default=None, choices=["int8", "bf16"],
+                    help="KV cache dtype (default: int8 at lumina, bf16 XL)")
+    ap.add_argument("--tree", default=None)
     args = ap.parse_args()
     ITERS = args.iters
 
@@ -52,6 +64,7 @@ def main():
     from lantern_tpu.models import transformer as tfm
     from lantern_tpu.ops.acceptance import LanternSpec
     from lantern_tpu.ops.sampling import LogitsWarp, cfg_combine
+    from lantern_tpu.ops.quant import head_of as quant_head
     from lantern_tpu.ops.vq_distance import nearest_latents
 
     t_start = time.perf_counter()
@@ -60,9 +73,30 @@ def main():
         print(f"[prof +{time.perf_counter() - t_start:6.1f}s] {m}",
               file=sys.stderr, flush=True)
 
-    cfg = configs.llamagen_config(args.size, "t2i", image_tokens=args.tokens)
+    lumina = args.geom == "lumina"
+    if lumina:
+        GRID = 48
+        MAX_NEW = GRID * (GRID + 1) + 1
+        cfg = configs.chameleon_7b_config(max_seq_len=19 + MAX_NEW + 74,
+                                          swin_norm=True)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sel = os.path.join(repo, "ckpts/bench_tree_lumina.json")
+        tree_name = args.tree or (sel if os.path.exists(sel)
+                                  else "chain_bush_8")
+        prefix = args.prefix if args.prefix >= 0 else 1200
+        quant = args.quant or "int8"
+        kvq = (args.kv or "int8") == "int8"
+    else:
+        cfg = configs.llamagen_config(args.size, "t2i",
+                                      image_tokens=args.tokens)
+        tree_name = args.tree or "naive_extend_57"
+        prefix = args.prefix if args.prefix >= 0 else 248
+        quant = args.quant or "none"
+        kvq = (args.kv or "bf16") == "int8"
     dcfg = configs.drafter_config(cfg, total_tokens=59, depth=4, top_k=10)
-    tree = trees.get_tree("naive_extend_57")
+    tree = trees.get_tree(tree_name)
+    note(f"geom={args.geom} tree={tree_name} ({tree.num_nodes} nodes) "
+         f"weights={quant} kv={'int8' if kvq else 'bf16'} prefix={prefix}")
     cpu = jax.devices("cpu")[0]
     dev = jax.devices()[0]
     with jax.default_device(cpu):
@@ -70,8 +104,13 @@ def main():
         dparams = drf.init_drafter_params(jax.random.key(1), dcfg, params["embed"])
         cb = jax.random.normal(jax.random.key(3), (cfg.vocab_size, 8))
         params["nearest_latents"] = jnp.asarray(nearest_latents(cb, k=11))
-    params = tfm.fuse_params(params)
-    dparams = tfm.fuse_params(dparams)
+        params = tfm.fuse_params(params)
+        dparams = tfm.fuse_params(dparams)
+        if quant == "int8":
+            from lantern_tpu.ops.quant import quantize_params
+
+            params = quantize_params(params)
+            dparams = quantize_params(dparams)
     params = jax.device_put(params, dev)
     dparams = jax.device_put(dparams, dev)
     note("params on device")
@@ -79,8 +118,9 @@ def main():
     drope = tfm.make_rope_tables(dcfg.model)
     warp = LogitsWarp(temperature=1.0, top_k=2000, top_p=1.0)
 
-    plen = jnp.asarray(args.prefix, jnp.int32)
-    base_kv = dataclasses.replace(KVCache.create(cfg, 2), length=plen)
+    plen = jnp.asarray(prefix, jnp.int32)
+    base_kv = dataclasses.replace(KVCache.create(cfg, 2, quantized=kvq),
+                                  length=plen)
     draft_kv = dataclasses.replace(KVCache.create(dcfg.model, 2), length=plen)
 
     N1 = tree.num_nodes
@@ -204,7 +244,7 @@ def main():
         def body(carry, rng):
             dkv, hid = carry
             d, dkv2 = drf.draft_static(dparams, dcfg, tree, drope, dkv, hid,
-                                       params["lm_head"], 3.0, warp, rng)
+                                       quant_head(params), 3.0, warp, rng)
             hid2 = hid + d.ss_prob[0, 0].astype(hid.dtype)
             return (dkv2, hid2), d.ss_token[0, 0]
         _, t = jax.lax.scan(body, (dkv, hid0),
@@ -287,7 +327,7 @@ def main():
             step_fn = spec.make_static_step(ecfg, cfg, dcfg, tree, ctx)
             hid = jnp.zeros((2, 1, cfg.hidden_size), cfg.jnp_dtype)
             d0, dkv = drf.draft_static(dparams, dcfg, tree, drope, draft_kv,
-                                       hid, params["lm_head"], 3.0, warp_s,
+                                       hid, quant_head(params), 3.0, warp_s,
                                        jax.random.key(3))
             st = spec.SpecState(
                 base_kv=base_kv, draft_kv=dkv, draft=d0,

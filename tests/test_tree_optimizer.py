@@ -84,3 +84,49 @@ def test_measure_rank_probs_aligned_drafter():
     assert probs[0] > 0.5            # aligned drafter mostly rank-0
     paths = trees.optimize_tree(probs, num_nodes=8, max_depth=4)
     assert (0, 0) in paths           # enough rank-0 mass to go deep
+
+
+def test_optimize_tree_depth_dependent_rows():
+    """2-D [depth][rank] probabilities: a sharp depth-decay row cuts deep
+    chains that the flat model would keep (the passthrough drafter's
+    staleness decay, PERF.md 'Lumina drafter study')."""
+    flat = trees.optimize_tree([0.9, 0.1], num_nodes=10, max_depth=8)
+    decayed = trees.optimize_tree(
+        [[0.9, 0.1], [0.9, 0.1], [0.05, 0.01]], num_nodes=10, max_depth=8)
+    assert max(len(p) for p in flat) > max(len(p) for p in decayed) or (
+        sum(len(p) > 3 for p in flat) > sum(len(p) > 3 for p in decayed))
+    # depth rows beyond the matrix reuse the last row; probs still validated
+    with pytest.raises(ValueError):
+        trees.optimize_tree([[0.5], [0.0]], num_nodes=3)
+
+
+def test_measure_stale_rank_probs_tiny():
+    """The token-prompt (Lumina) calibration instrument runs end-to-end on a
+    tiny FSM-constrained model and yields a well-formed [depth, rank]
+    matrix whose depth-1 column dominates (the stale proposal is freshest
+    at depth 1)."""
+    from lantern_tpu.engine.calibrate import measure_stale_rank_probs
+    from lantern_tpu.models import chameleon as cham
+    from lantern_tpu.ops.sampling import LogitsWarp
+
+    GRID = 5
+    MAX_NEW = GRID * (GRID + 1) + 1
+    TEXT = list(range(60000, 60006))
+    cfg = configs.tiny_config(cond_kind="none", rope_kind="1d", qk_norm=True,
+                              swin_norm=True, vocab_size=65536,
+                              max_seq_len=len(TEXT) + 3 + MAX_NEW + 16)
+    params = tfm.init_params(jax.random.key(0), cfg)
+    tp = cham.lumina_token_prompt(TEXT, grid=(GRID, GRID))
+    fsm = cham.LuminaGridFSM(w=GRID, h=GRID, image_start_idx=len(TEXT),
+                             vocab_size=cfg.vocab_size)
+    probs = measure_stale_rank_probs(
+        params, cfg, tp, jax.random.key(7), MAX_NEW, max_rank=3, max_depth=4,
+        cfg_scale=3.0, warp=LogitsWarp(temperature=1.0, top_k=2000),
+        logits_fn=fsm, chunk=16)
+    assert probs.shape == (4, 3)
+    assert (probs > 0).all() and (probs <= 1).all()
+    # rank-0 beats deeper ranks at every depth on any peaked-enough model
+    assert (probs[:, 0] >= probs[:, 1]).all()
+    paths = trees.optimize_tree(probs, num_nodes=12, max_depth=4)
+    t = trees.get_tree(paths)
+    assert t.num_nodes == 13
