@@ -536,9 +536,15 @@ def lumina_main():
         np.asarray(res.tokens)
         return res
 
+    # untrained => the hidden-passthrough drafter, which stale_draft executes
+    # drafter-free: every tree node proposes from the verify step's own raw
+    # distribution at the accepted node, eliminating all per-step drafter
+    # forwards + lm_head re-streams (~1.6 GB int8/step at this geometry)
+    # with bit-identical proposals (tests/test_stale_draft.py)
     ecfg = spec.SpecDecodeConfig(
         warp=warp, cfg_scale=3.0, lantern=LanternSpec(k=LK, delta=LD),
         max_new=MAX_NEW, mode="static", kv_quant=KVQ,
+        stale_draft=not trained,
     )
 
     def run_spec(seed):
@@ -562,7 +568,8 @@ def lumina_main():
             f"image_tokens_per_s_per_chip (Lumina-mGPT-7B-class t2i "
             f"{MAX_NEW}tok {GRID}x{GRID} grid-FSM, EAGLE-1 static tree + "
             f"LANTERN k={LK} d={LD}, sampling, "
-            + ("self-distilled drafter)" if trained else "aligned drafter)")),
+            + ("self-distilled drafter)" if trained
+               else "stale-distribution drafter-free)")),
         "value": round(MAX_NEW / t_spec, 2),
         "unit": "tokens/s",
         "vs_baseline": round(t_ar / t_spec, 3),

@@ -58,6 +58,14 @@ class SpecDecodeConfig:
     # ea_model_lumina_mgpt.py:825-831: the drafter's logits processors get
     # their own top-k while the verifier keeps top_k).  None = share `warp`.
     drafter_warp: Optional[LogitsWarp] = None
+    # Drafter-free stale-distribution drafting (static mode only): every tree
+    # node proposes from the raw cfg-combined base distribution at the last
+    # accepted node — bit-identical to ``draft_static`` with the hidden-
+    # passthrough drafter (the measured-optimal drafter on a random-weight
+    # base, PERF.md) but with ZERO drafter forwards and ZERO extra lm_head
+    # matmuls per step (drf.draft_stale).  dparams become dead weight-side
+    # inputs; the drafter KV shrinks to a stub.
+    stale_draft: bool = False
     # EOS-terminated (variable-length / interleaved) generation: the decode
     # loop stops once any of these ids is COMMITTED, and SpecResult.n_valid
     # marks the stream end (stop id included).  This implements the intended
@@ -182,7 +190,10 @@ def _verify_and_update(
     max_depth: int,
 ):
     """Shared tail of a spec step: base tree forward, acceptance, KV rollback,
-    drafter extension.  Returns (state', root_hidden for next draft)."""
+    drafter extension.  Returns (state', root_out): the next draft's root
+    hidden [2, 1, H], or — with ``ecfg.stale_draft`` — the raw cfg-combined
+    logits row [V] at the last accepted node (the passthrough drafter's
+    proposal distribution, drf.draft_stale)."""
     N1 = tree_tokens.shape[0]
     P, D = candidates.shape
 
@@ -200,7 +211,8 @@ def _verify_and_update(
         prefix_valid=ctx.prefix_valid,
         commit=False,
     )
-    logits_all = cfg_combine(tfm.logits_head(ctx.params, res.hidden), ecfg.cfg_scale)[0]
+    logits_raw = cfg_combine(tfm.logits_head(ctx.params, res.hidden), ecfg.cfg_scale)[0]
+    logits_all = logits_raw
     if ctx.logits_mask is not None:
         # suppress non-image tokens before verification (ea_model_anole:931)
         logits_all = jnp.where(ctx.logits_mask, jnp.finfo(jnp.float32).min, logits_all)
@@ -262,19 +274,27 @@ def _verify_and_update(
         hit = (cand_row[:, None] == stops[None, :]).any(-1) & (jnp.arange(D) < n_acc)
         stopped = stopped | jnp.any(hit)
 
-    # --- drafter extension over accepted rows ---
-    j = jnp.arange(D)
-    next_tok = jnp.where(
-        j < alen, sel_tokens[jnp.minimum(j + 1, D - 1)], bonus,
-    ).astype(jnp.int32)                                          # [D]
-    hid_rows = hidden_new[:, sel_slots]                          # [2, D, H]
-    out_hidden, draft_kv = drf.extend(
-        ctx.dparams, dcfg, ctx.drope, state.draft_kv,
-        jnp.broadcast_to(next_tok[None, :], (2, D)), hid_rows, n_acc,
-        prefix_valid=ctx.drafter_pv,
-        pos_offsets=ctx.pos_offsets,
-    )
-    root_hidden = jax.lax.dynamic_slice_in_dim(out_hidden, alen, 1, axis=1)
+    if ecfg.stale_draft:
+        # drafter-free mode: the next draft proposes from the raw distribution
+        # at the last accepted node (== head(passthrough drafter hidden) at
+        # the bonus-token row, see drf.draft_stale) — no drafter extension,
+        # no drafter KV
+        draft_kv = state.draft_kv
+        root_out = logits_raw[sel_slots[alen]]                   # [V]
+    else:
+        # --- drafter extension over accepted rows ---
+        j = jnp.arange(D)
+        next_tok = jnp.where(
+            j < alen, sel_tokens[jnp.minimum(j + 1, D - 1)], bonus,
+        ).astype(jnp.int32)                                      # [D]
+        hid_rows = hidden_new[:, sel_slots]                      # [2, D, H]
+        out_hidden, draft_kv = drf.extend(
+            ctx.dparams, dcfg, ctx.drope, state.draft_kv,
+            jnp.broadcast_to(next_tok[None, :], (2, D)), hid_rows, n_acc,
+            prefix_valid=ctx.drafter_pv,
+            pos_offsets=ctx.pos_offsets,
+        )
+        root_out = jax.lax.dynamic_slice_in_dim(out_hidden, alen, 1, axis=1)
 
     state = state._replace(
         base_kv=base_kv,
@@ -287,7 +307,7 @@ def _verify_and_update(
         rng=state_rng,
         stopped=stopped,
     )
-    return state, root_hidden
+    return state, root_out
 
 
 def make_static_step(
@@ -327,7 +347,7 @@ def make_static_step(
         else:
             node_q, level_probs = None, None
 
-        state, root_hidden = _verify_and_update(
+        state, root_out = _verify_and_update(
             ecfg, cfg, dcfg, ctx, state,
             candidates, node_q, level_probs,
             children, inlevel if sampling else None,
@@ -336,8 +356,15 @@ def make_static_step(
 
         # --- next draft tree ---
         rng, draft_rng = jax.random.split(state.rng)
+        if ecfg.stale_draft:
+            new_draft = drf.draft_stale(
+                spec, root_out, state.base_kv.length, ecfg.dwarp, draft_rng,
+                logits_mask=ctx.logits_mask, logits_fn=ctx.logits_fn,
+                pin=ecfg.pin,
+            )
+            return state._replace(draft=new_draft, rng=rng)
         new_draft, dkv = drf.draft_static(
-            ctx.dparams, dcfg, spec, ctx.drope, state.draft_kv, root_hidden,
+            ctx.dparams, dcfg, spec, ctx.drope, state.draft_kv, root_out,
             quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.dwarp, draft_rng,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
             logits_fn=ctx.logits_fn, prefix_valid=ctx.drafter_pv,
@@ -404,9 +431,14 @@ def prefill_request(
     if ecfg.lantern.enabled and nearest is None:
         raise ValueError("lantern enabled but params lack 'nearest_latents'")
 
+    if ecfg.stale_draft and ecfg.mode != "static":
+        raise ValueError("stale_draft requires mode='static'")
     pad = (spec.path_len if ecfg.mode == "static" else dcfg.depth + 2) + 1
     base_kv = KVCache.create(cfg, 2, quantized=ecfg.kv_quant)
-    dk = KVCache.create(dcfg.model, 2)
+    # stale mode never runs the drafter: its cache is a minimal stub kept
+    # only so SpecState's pytree structure is mode-independent
+    dk = KVCache.create(dcfg.model, 2,
+                        max_len=1 if ecfg.stale_draft else None)
     S = base_kv.max_len
     if token_prompt is not None and prefix_valid is not None:
         # the prompt's own pad mask (token_prompt.valid) is authoritative
@@ -448,15 +480,19 @@ def prefill_request(
         t0 = (jnp.argmax(l0) if ecfg.pin is not None
               else sample_token(r0, l0, ecfg.warp)).astype(jnp.int32)
 
-        # ---- drafter prefill: (shifted tokens, base hiddens) ----
-        dtok = jnp.concatenate(
-            [jnp.zeros((Tc - 1,), jnp.int32), t0.reshape(1)]
-        ) if Tc > 1 else t0.reshape(1)
-        dtok2 = jnp.broadcast_to(dtok[None, :], (2, Tc))
-        out_hidden, dk = drf.extend(
-            ctx.dparams, dcfg, drope, dk, dtok2, res.hidden, Tc,
-        )
-        root_hidden = out_hidden[:, -1:]
+        if ecfg.stale_draft:
+            root_out = logits0[0, -1]          # raw: masks re-apply per level
+            dk = dk.commit(Tc)
+        else:
+            # ---- drafter prefill: (shifted tokens, base hiddens) ----
+            dtok = jnp.concatenate(
+                [jnp.zeros((Tc - 1,), jnp.int32), t0.reshape(1)]
+            ) if Tc > 1 else t0.reshape(1)
+            dtok2 = jnp.broadcast_to(dtok[None, :], (2, Tc))
+            out_hidden, dk = drf.extend(
+                ctx.dparams, dcfg, drope, dk, dtok2, res.hidden, Tc,
+            )
+            root_out = out_hidden[:, -1:]
     else:
         tp = token_prompt
         L = tp.tokens.shape[1]
@@ -487,26 +523,37 @@ def prefill_request(
         t0 = (jnp.argmax(first_logits) if ecfg.pin is not None
               else sample_token(r0, first_logits, ecfg.warp)).astype(jnp.int32)
 
-        # ---- drafter prefill: tokens shifted left one, hiddens aligned ----
-        dtok = jnp.concatenate(
-            [tp.tokens[:, 1:], jnp.broadcast_to(t0.reshape(1, 1), (2, 1))], axis=1
-        )
-        dpos = jnp.arange(L)[None, :]
-        dpos = jnp.maximum(dpos - offs[:, None], 0)
-        # the reference threads the left-pad attention_mask into the
-        # drafter prefill itself (ea_model_anole.py:437): pad rows must be
-        # invisible within the prompt block, not only in later prefix reads
-        out_hidden, dk = drf.extend(
-            ctx.dparams, dcfg, drope, dk, dtok, res.hidden, L,
-            prefix_valid=prefix_valid, positions=dpos,
-            block_valid=tp.valid,
-        )
-        root_hidden = out_hidden[:, -1:]
+        if ecfg.stale_draft:
+            root_out = logits0[0, -1]          # raw: masks re-apply per level
+            dk = dk.commit(L)
+        else:
+            # ---- drafter prefill: tokens shifted left one, hiddens aligned --
+            dtok = jnp.concatenate(
+                [tp.tokens[:, 1:], jnp.broadcast_to(t0.reshape(1, 1), (2, 1))],
+                axis=1,
+            )
+            dpos = jnp.arange(L)[None, :]
+            dpos = jnp.maximum(dpos - offs[:, None], 0)
+            # the reference threads the left-pad attention_mask into the
+            # drafter prefill itself (ea_model_anole.py:437): pad rows must be
+            # invisible within the prompt block, not only in later prefix reads
+            out_hidden, dk = drf.extend(
+                ctx.dparams, dcfg, drope, dk, dtok, res.hidden, L,
+                prefix_valid=prefix_valid, positions=dpos,
+                block_valid=tp.valid,
+            )
+            root_out = out_hidden[:, -1:]
 
     rng, draft_rng = jax.random.split(rng)
-    if ecfg.mode == "static":
+    if ecfg.mode == "static" and ecfg.stale_draft:
+        draft, draft_kv = drf.draft_stale(
+            spec, root_out, base_kv.length, ecfg.dwarp, draft_rng,
+            logits_mask=ctx.logits_mask, logits_fn=ctx.logits_fn,
+            pin=ecfg.pin,
+        ), dk
+    elif ecfg.mode == "static":
         draft, draft_kv = drf.draft_static(
-            ctx.dparams, dcfg, spec, drope, dk, root_hidden,
+            ctx.dparams, dcfg, spec, drope, dk, root_out,
             quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.dwarp, draft_rng,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
             logits_fn=ctx.logits_fn, prefix_valid=ctx.drafter_pv,
@@ -514,7 +561,7 @@ def prefill_request(
         )
     else:
         draft, draft_kv = drf.draft_dynamic(
-            ctx.dparams, dcfg, drope, dk, root_hidden, t0,
+            ctx.dparams, dcfg, drope, dk, root_out, t0,
             quant.head_of(ctx.params), ecfg.cfg_scale, ecfg.dwarp,
             pos_offsets=ctx.pos_offsets, logits_mask=ctx.logits_mask,
             logits_fn=ctx.logits_fn, prefix_valid=ctx.drafter_pv,

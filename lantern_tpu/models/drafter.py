@@ -154,6 +154,92 @@ class StaticDraft(NamedTuple):
     level_probs: Tuple[jnp.ndarray, ...]  # per level [rows, V] full dists
 
 
+def _sample_rows(logits, rng, K: int, warp: LogitsWarp, pin):
+    """[rows, V] cfg-combined logits -> (idx [rows,K], q [rows,K], dist).
+
+    Shared by ``draft_static`` (per-level drafter logits) and ``draft_stale``
+    (one stale distribution broadcast per level); behavior must stay
+    bit-identical between the two callers for the passthrough-equivalence
+    contract (tests/test_stale_draft.py)."""
+    if warp.active:
+        probs = jax.nn.softmax(warp_logits(logits, warp), axis=-1)
+        if pin is not None:
+            p_sel, idx = jax.lax.top_k(probs, K)
+            prev_cum = jnp.cumsum(p_sel, axis=-1) - p_sel
+            q = p_sel / (1.0 - prev_cum)
+            q = jnp.where(jnp.isfinite(q), jnp.clip(q, 0.0, 1.0), 0.0)
+            return idx.astype(jnp.int32), q, probs
+        idx, q = sample_without_replacement(rng, probs, K)
+        return idx, q, probs
+    idx = jax.lax.top_k(logits, K)[1].astype(jnp.int32)
+    vals = jnp.take_along_axis(logits, idx, axis=-1)
+    return idx, vals, jnp.zeros((logits.shape[0], 0), jnp.float32)
+
+
+def draft_stale(
+    spec: TreeSpec,
+    root_logits: jnp.ndarray,    # [V] raw cfg-combined logits at the root
+    length: jnp.ndarray,         # [] committed base length (FSM position base)
+    warp: LogitsWarp,
+    rng: jax.Array,
+    logits_mask: Optional[jnp.ndarray] = None,
+    logits_fn=None,
+    pin: Optional[float] = None,
+) -> StaticDraft:
+    """Drafter-free static drafting from one stale distribution.
+
+    The hidden-passthrough drafter (``fc_w = [0; I]``, zeroed decoder layers
+    — the measured-optimal drafter on a random-weight base, PERF.md "Lumina
+    drafter study") has a structural invariant: its output hidden equals its
+    input hidden regardless of the proposed token, so EVERY node of the draft
+    tree proposes from the SAME distribution — the base model's raw logits at
+    the root, which the verify step already computed (spec._verify_and_update
+    ``logits_all`` at the last accepted node).  ``draft_static`` with
+    passthrough params therefore spends ``depth`` drafter forwards plus
+    ``depth+1`` base-lm_head matmuls (at Lumina-7B geometry ~1.6 GB of
+    re-streamed int8 head weights per step) recomputing a distribution it
+    already holds.
+
+    This function produces the IDENTICAL ``StaticDraft`` (same tokens, same
+    residual q, same level distributions, same rng consumption order) with
+    zero forwards: per level it re-applies the position-indexed constraints
+    (``logits_mask`` / Lumina grid FSM) to the stale logits at that level's
+    parent position — the only thing that actually varies across levels —
+    broadcasts to the level's row count, and samples.  Engine wiring:
+    ``SpecDecodeConfig(stale_draft=True)`` (spec.py), which also skips the
+    drafter extension after acceptance.  Replaces the reference's per-level
+    ``self.ea_layer(...)`` + head calls in topK_genrate_v1
+    (cnets_llamagen.py:944-1023) for this drafter class.
+    """
+    K = spec.topk
+    lg0 = root_logits.astype(jnp.float32)[None, :]               # [1, V]
+    if logits_mask is not None:
+        lg0 = jnp.where(logits_mask, jnp.finfo(jnp.float32).min, lg0)
+
+    ss_token, ss_prob, level_probs = [], [], []
+    n_levels = len(spec.levels) + 1
+    for i in range(n_levels):
+        rng, r = jax.random.split(rng)
+        rows = 1 if i == 0 else len(spec.levels[i - 1].child_flat_idx)
+        lg = lg0
+        if logits_fn is not None:
+            # iteration i's rows sit at parent cond position length + i —
+            # the same positions draft_static feeds _head_logits (root at
+            # kv.length; level-d rows at kv.length + d + 1)
+            lg = logits_fn(lg0, length + jnp.zeros((1,), jnp.int32) + i)
+        lg = jnp.broadcast_to(lg, (rows, lg.shape[-1]))
+        idx, q, dist = _sample_rows(lg, r, K, warp, pin)
+        ss_token.append(idx)
+        ss_prob.append(q)
+        level_probs.append(dist)
+
+    return StaticDraft(
+        ss_token=jnp.concatenate(ss_token, axis=0),
+        ss_prob=jnp.concatenate(ss_prob, axis=0).astype(jnp.float32),
+        level_probs=tuple(level_probs),
+    )
+
+
 def draft_static(
     params: dict,
     dcfg: DrafterConfig,
@@ -186,20 +272,7 @@ def draft_static(
     out_hidden = root_hidden
 
     def sample_rows(logits, rng):
-        """[rows, V] cfg-combined logits -> (idx [rows,K], q [rows,K], dist)."""
-        if sampling:
-            probs = jax.nn.softmax(warp_logits(logits, warp), axis=-1)
-            if pin is not None:
-                p_sel, idx = jax.lax.top_k(probs, K)
-                prev_cum = jnp.cumsum(p_sel, axis=-1) - p_sel
-                q = p_sel / (1.0 - prev_cum)
-                q = jnp.where(jnp.isfinite(q), jnp.clip(q, 0.0, 1.0), 0.0)
-                return idx.astype(jnp.int32), q, probs
-            idx, q = sample_without_replacement(rng, probs, K)
-            return idx, q, probs
-        idx = jax.lax.top_k(logits, K)[1].astype(jnp.int32)
-        vals = jnp.take_along_axis(logits, idx, axis=-1)
-        return idx, vals, jnp.zeros((logits.shape[0], 0), jnp.float32)
+        return _sample_rows(logits, rng, K, warp, pin)
 
     def level_positions(d, T):
         pos = kv.length + jnp.zeros((T,), jnp.int32) + d

@@ -147,6 +147,9 @@ def main():
         ecfg = spec.SpecDecodeConfig(
             warp=warp, cfg_scale=3.0, lantern=LanternSpec(k=10, delta=5.0),
             max_new=MAX_NEW, mode="static", kv_quant=True,
+            # measure the bench's production config: drafter-free stale
+            # drafting when no trained drafter exists (bench.py lumina lane)
+            stale_draft=not os.path.exists(ck),
         )
 
         def run(seed):
