@@ -48,6 +48,15 @@ class LlamaGenSession:
     vq_cfg: Optional[vqgan.VQGANConfig] = None
     vq_params: Optional[dict] = None
     t5: object = None
+    # drafter is the hidden-passthrough: spec steps run drafter-free stale-
+    # distribution drafting (SpecDecodeConfig.stale_draft, bit-identical but
+    # skips all drafter forwards + per-level lm_head streams)
+    passthrough_drafter: bool = False
+
+    def _resolve_stale(self, stale_draft, mode: str) -> bool:
+        if stale_draft == "auto":
+            return mode == "static" and self.passthrough_drafter
+        return bool(stale_draft) and mode == "static"
 
     @classmethod
     def from_pretrained(
@@ -113,7 +122,8 @@ class LlamaGenSession:
             vq_cfg = vqgan.vq16_config(codebook_size=cfg.vocab_size)
             vq_params = vqgan.init_vqgan_params(jax.random.key(seed + 2), vq_cfg)
         return cls(cfg=cfg, dcfg=dcfg, params=params, dparams=dparams,
-                   vq_cfg=vq_cfg, vq_params=vq_params)
+                   vq_cfg=vq_cfg, vq_params=vq_params,
+                   passthrough_drafter=aligned_drafter and dcfg is not None)
 
     # ------------------------------------------------------------------
     def _cond_pair(self, prompt):
@@ -151,6 +161,8 @@ class LlamaGenSession:
         seed: int = 0,
         kv_quant: bool = False,
         warp_order: str = "hf",   # "ar" = reference vanilla-AR order
+        stale_draft="auto",       # drafter-free stale drafting; "auto" = on
+        #   when the session's drafter is the hidden-passthrough
     ):
         cfg = self.cfg
         max_new = max_new or cfg.block_size
@@ -175,6 +187,7 @@ class LlamaGenSession:
             lantern=LanternSpec(k=lantern_k, delta=lantern_delta),
             max_new=max_new, mode=mode, kv_quant=kv_quant,
             drafter_warp=dwarp,
+            stale_draft=self._resolve_stale(stale_draft, mode),
         )
         if tree == "auto":
             tree = "naive_extend_57"
@@ -207,6 +220,7 @@ class LlamaGenSession:
         kv_quant: bool = False,
         warp_order: str = "hf",
         progress: bool = False,
+        stale_draft="auto",
     ):
         """Continuous-batching generation over many prompts: ``slots``
         concurrent requests share every weight stream (the serving-engine
@@ -252,6 +266,7 @@ class LlamaGenSession:
             lantern=LanternSpec(k=lantern_k, delta=lantern_delta),
             max_new=max_new, mode=mode, kv_quant=kv_quant,
             drafter_warp=dwarp,
+            stale_draft=self._resolve_stale(stale_draft, mode),
         )
         tspec = trees.get_tree(tree) if mode == "static" else None
         engine = BatchedEngine(ecfg, cfg, self.dcfg, tspec, self.params,
@@ -336,6 +351,11 @@ class ChameleonSession:
     fsm_overrides: Optional[dict] = None  # LuminaGridFSM id overrides
     #   (newline_id / image_end_id / image_lo / image_hi — small-vocab tests)
     tokenizer: object = None         # ChameleonBPE (or any str -> List[int])
+    # drafter is the hidden-passthrough: spec steps run drafter-free stale-
+    # distribution drafting (SpecDecodeConfig.stale_draft)
+    passthrough_drafter: bool = False
+
+    _resolve_stale = LlamaGenSession._resolve_stale
 
     @classmethod
     def from_pretrained(
@@ -440,6 +460,7 @@ class ChameleonSession:
         warp_order: str = "hf",
         progress: bool = False,
         grid=None,
+        stale_draft="auto",
     ):
         """Continuous-batching generation over token/text prompts (the
         reference's vLLM data-gen role, vllm_inference_solver.py:243-343).
@@ -513,6 +534,7 @@ class ChameleonSession:
             lantern=LanternSpec(k=lantern_k, delta=lantern_delta),
             max_new=max_new, mode=mode, kv_quant=kv_quant,
             drafter_warp=dwarp,
+            stale_draft=self._resolve_stale(stale_draft, mode),
         )
         tspec = trees.get_tree(tree) if mode == "static" else None
         engine = BatchedEngine(ecfg, cfg, self.dcfg, tspec, self.params,
@@ -596,7 +618,8 @@ class ChameleonSession:
                 dparams["fc_w"] = jnp.asarray(fc, dtype=cfg.jnp_dtype)
                 dparams["layers"] = jax.tree.map(lambda a: a * 0, dparams["layers"])
         return cls(cfg=cfg, dcfg=dcfg, params=params, dparams=dparams,
-                   family=family, grid=grid, tokenizer=hash_tokenize)
+                   family=family, grid=grid, tokenizer=hash_tokenize,
+                   passthrough_drafter=aligned_drafter and dcfg is not None)
 
     def _prompt(self, text_or_tokens, grid=None):
         from ..models import chameleon as cham
@@ -632,6 +655,8 @@ class ChameleonSession:
         warp_order: str = "hf",   # "ar" = reference vanilla-AR order
         stop_ids=None,            # EOS-terminated interleaved generation
         logits_fn="auto",         # custom logits processor; "auto" = family
+        stale_draft="auto",       # drafter-free stale drafting; "auto" = on
+        #   when the session's drafter is the hidden-passthrough
         grid=None,                # per-call (h, w) latent grid override
         #   (Lumina multi-resolution: reference target_size,
         #   eagle_inference_solver.py:244; each grid compiles once)
@@ -688,6 +713,7 @@ class ChameleonSession:
             lantern=LanternSpec(k=lantern_k, delta=lantern_delta),
             max_new=max_new, mode=mode, kv_quant=kv_quant,
             drafter_warp=dwarp, stop_ids=stop_ids,
+            stale_draft=self._resolve_stale(stale_draft, mode),
         )
         if tree == "auto":
             tree = "mc_sim_7b_63"

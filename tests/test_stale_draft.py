@@ -174,3 +174,54 @@ def test_stale_rejects_dynamic_mode(lumina_setup):
     with pytest.raises(ValueError, match="stale_draft"):
         spec.generate(params, dparams, ecfg, cfg, dcfg, None, None, None,
                       jax.random.key(0), token_prompt=tp)
+
+
+def test_session_auto_stale_matches_explicit_off(lumina_setup):
+    """ChameleonSession.random(aligned_drafter=True) flips stale_draft on by
+    default ("auto"); the stream must match the full drafter path."""
+    from lantern_tpu.engine.session import ChameleonSession
+
+    cfg, dcfg, _, _ = lumina_setup
+    sess = ChameleonSession.random(cfg, dcfg, family="lumina",
+                                   grid=(H_GRID, W_GRID),
+                                   aligned_drafter=True)
+    sess.fsm_overrides = dict(newline_id=NEWLINE, image_end_id=IMG_END,
+                              image_lo=4, image_hi=50)
+    assert sess.passthrough_drafter
+    kw = dict(temperature=1.0, top_k=16, cfg_scale=2.0, seed=3,
+              tree="mc_sim_7b_63")
+    toks_off, stats_off = sess.generate([12, 33], stale_draft=False, **kw)
+    toks_auto, stats_auto = sess.generate([12, 33], **kw)
+    np.testing.assert_array_equal(toks_off, toks_auto)
+    assert stats_off.steps == stats_auto.steps
+
+
+def test_batched_stale_matches_batched_full(lumina_setup):
+    """BatchedEngine with stale_draft: per-slot streams match the full
+    drafter path (vmapped draft_stale over slots)."""
+    from lantern_tpu.engine.batch import BatchedEngine
+    from lantern_tpu.engine.scheduler import Request, Scheduler
+
+    cfg, dcfg, params, dparams = lumina_setup
+    tspec = trees.get_tree("mc_sim_7b_63")
+    prompts = [[12, 33, 7], [5, 9, 2], [40, 1, 3]]
+    fsm = cham.LuminaGridFSM(
+        w=W_GRID, h=H_GRID, image_start_idx=3, vocab_size=V,
+        newline_id=NEWLINE, image_end_id=IMG_END, image_lo=4, image_hi=50,
+    )
+    results = {}
+    for stale in (False, True):
+        ecfg = spec.SpecDecodeConfig(
+            warp=LogitsWarp(temperature=1.0, top_k=16), cfg_scale=2.0,
+            max_new=MAX_NEW, mode="static", stale_draft=stale)
+        eng = BatchedEngine(ecfg=ecfg, cfg=cfg, dcfg=dcfg, tree=tspec,
+                            params=params, dparams=dparams, num_slots=2,
+                            logits_fn=fsm)
+        reqs = [Request(uid=i, token_prompt=cham.lumina_token_prompt(
+                            p, grid=(H_GRID, W_GRID)), seed=50 + i)
+                for i, p in enumerate(prompts)]
+        results[stale] = Scheduler(eng).run(reqs)
+    for a, b in zip(results[False], results[True]):
+        assert a.error is None and b.error is None
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+        assert a.steps == b.steps
