@@ -67,10 +67,11 @@ class ModelConfig:
     # S=512); flash pays off once the cache is long enough that streaming
     # only the live prefix matters (Lumina's 2.4K-token images)
     flash_min_seq: int = 1024
-    # lax.scan unroll over the layer stack.  Decode-step forwards at small
-    # token counts are op-launch-latency-bound (36 sequential layers of
-    # ~15 small ops each); unrolling lets XLA pipeline next-layer weight
-    # DMAs with current-layer compute and amortize loop bookkeeping
+    # lax.scan unroll over the layer stack.  Measured DEAD END on v5e
+    # (scripts/probe_unroll.py, PERF.md r4 table): unroll 2/4/6 all SLOW the
+    # XL decode forwards 20-45% vs unroll=1 — XLA already pipelines the scan
+    # body, and the bigger program only costs.  Keep 1 for every size; the
+    # remaining latency-vs-stream-floor gap is per-layer op count.
     scan_unroll: int = 1
 
     # budget
