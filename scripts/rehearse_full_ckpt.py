@@ -235,7 +235,10 @@ def phase_meta(tmp_dir: str):
 
     shards = []
     for m in range(mp):
-        sh = {"tok_embeddings.weight": r(V // mp, H),
+        # Meta sharding axes (convert_chameleon_weights_to_hf.py:292-299):
+        # tok_embeddings is ParallelEmbedding — HIDDEN-sharded (cat dim=1);
+        # output is ColumnParallel — vocab-sharded (cat dim=0)
+        sh = {"tok_embeddings.weight": r(V, H // mp),
               "norm.weight": r(H, scale=1.0),
               "output.weight": r(V // mp, H)}
         for l in range(L):

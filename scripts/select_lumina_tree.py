@@ -41,6 +41,11 @@ def main():
                     help="nodes:max_depth list for calibrated candidates")
     ap.add_argument("--probe-tokens", type=int, default=0,
                     help="tokens for the calibration rollout (0 = full image)")
+    ap.add_argument("--probs-cache", default="ckpts/lumina_stale_probs.npz",
+                    help="measured stale rank-prob matrix cache: loaded when "
+                    "present (the measurement costs a full-image rollout + "
+                    "teacher forward, ~11 min at 7B), written after a fresh "
+                    "measurement; '' disables")
     args = ap.parse_args()
 
     import jax
@@ -68,6 +73,8 @@ def main():
     prompt_len = len(TEXT) + 3
     cfg = configs.chameleon_7b_config(
         max_seq_len=prompt_len + MAX_NEW + 74, swin_norm=True)
+    if os.environ.get("BENCH_LUMINA_FLASH", "0") == "0":   # match the lane
+        cfg = dataclasses.replace(cfg, use_flash_attention=False)
     if "BENCH_LUMINA_LAYERS" in os.environ:     # scaled-down smoke runs
         H = int(os.environ.get("BENCH_LUMINA_H", 4096))
         cfg = dataclasses.replace(
@@ -86,31 +93,45 @@ def main():
                                   total_tokens=59, depth=4, top_k=10)
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
-    with jax.default_device(cpu):
-        params = tfm.init_params(jax.random.key(0), cfg)
-        dparams = drf.init_drafter_params(jax.random.key(101), dcfg,
-                                          params["embed"])
-        if os.path.exists(ck):
-            z = np.load(ck)
-            dt_ = cfg.jnp_dtype
-            dparams["fc_w"] = jnp.asarray(z["fc_w"], dt_)
-            dparams["fc_b"] = jnp.asarray(z["fc_b"], dt_)
-            dparams["layers"] = {k[len("layers."):]: jnp.asarray(z[k], dt_)
-                                 for k in z.files if k.startswith("layers.")}
-            note("trained lumina drafter loaded")
-        else:
-            H = cfg.hidden_size
-            fc = np.zeros((2 * H, H), np.float32)
-            fc[H:] = np.eye(H)
-            dparams["fc_w"] = jnp.asarray(fc, dtype=cfg.jnp_dtype)
-            dparams["layers"] = jax.tree.map(lambda a: a * 0,
-                                             dparams["layers"])
-        cb = jax.random.normal(jax.random.key(3), (8192, 8))
-        near = np.asarray(nearest_latents(cb, k=11))
-        params["nearest_latents"] = jnp.asarray(
-            cham.shift_nearest_table(near, cfg.vocab_size))
-        params = quantize_params(tfm.fuse_params(params))
-        dparams = quantize_params(tfm.fuse_params(dparams))
+
+    def build_host_params():
+        with jax.default_device(cpu):
+            params = tfm.init_params(jax.random.key(0), cfg)
+            dparams = drf.init_drafter_params(jax.random.key(101), dcfg,
+                                              params["embed"])
+            if os.path.exists(ck):
+                z = np.load(ck)
+                dt_ = cfg.jnp_dtype
+                dparams["fc_w"] = jnp.asarray(z["fc_w"], dt_)
+                dparams["fc_b"] = jnp.asarray(z["fc_b"], dt_)
+                dparams["layers"] = {
+                    k[len("layers."):]: jnp.asarray(z[k], dt_)
+                    for k in z.files if k.startswith("layers.")}
+                note("trained lumina drafter loaded")
+            else:
+                H = cfg.hidden_size
+                fc = np.zeros((2 * H, H), np.float32)
+                fc[H:] = np.eye(H)
+                dparams["fc_w"] = jnp.asarray(fc, dtype=cfg.jnp_dtype)
+                dparams["layers"] = jax.tree.map(lambda a: a * 0,
+                                                 dparams["layers"])
+            cb = jax.random.normal(jax.random.key(3), (8192, 8))
+            near = np.asarray(nearest_latents(cb, k=11))
+            params["nearest_latents"] = jnp.asarray(
+                cham.shift_nearest_table(near, cfg.vocab_size))
+            params = quantize_params(tfm.fuse_params(params))
+            dparams = quantize_params(tfm.fuse_params(dparams))
+        return params, dparams
+
+    # identical build recipe (seeds, fuse, quantize) to bench.py's lane ->
+    # shares its host-param disk cache
+    from bench import _host_param_cache
+
+    tag = (f"lumina_L{cfg.num_layers}_H{cfg.hidden_size}"
+           f"_I{cfg.intermediate_size}_k10_"
+           + (f"tr{int(os.path.getmtime(ck))}" if os.path.exists(ck)
+              else "pass") + "_v1")
+    params, dparams = _host_param_cache(tag, build_host_params, note)
     params = jax.device_put(params, tpu)
     dparams = jax.device_put(dparams, tpu)
     note("7B params on device")
@@ -125,11 +146,25 @@ def main():
         from lantern_tpu.engine.calibrate import measure_stale_rank_probs
 
         max_depth = max(int(b.split(":")[1]) for b in args.budgets.split(","))
-        probs = measure_stale_rank_probs(
-            params, cfg, tp, jax.random.key(77),
-            num_tokens=args.probe_tokens or MAX_NEW,
-            max_rank=10, max_depth=max_depth, cfg_scale=3.0, warp=warp,
-            logits_fn=fsm, kv_quant=True)
+        cache = args.probs_cache
+        if cache and os.path.exists(cache):
+            with np.load(cache) as z:
+                probs = z["probs"]
+            if probs.shape[0] < max_depth:   # deeper budgets than the cache
+                probs = np.concatenate(
+                    [probs, np.broadcast_to(
+                        probs[-1:], (max_depth - probs.shape[0],
+                                     probs.shape[1]))])
+            note(f"stale rank probs loaded from {cache}")
+        else:
+            probs = measure_stale_rank_probs(
+                params, cfg, tp, jax.random.key(77),
+                num_tokens=args.probe_tokens or MAX_NEW,
+                max_rank=10, max_depth=max_depth, cfg_scale=3.0, warp=warp,
+                logits_fn=fsm, kv_quant=True)
+            if cache:
+                np.savez(cache, probs=probs, grid=GRID)
+                note(f"stale rank probs cached to {cache}")
         note("stale rank probs (rows=depth):")
         for d, row in enumerate(probs):
             note(f"  d={d + 1}: {np.round(row, 3).tolist()}")
