@@ -227,8 +227,22 @@ def draft_stale(
             # the same positions draft_static feeds _head_logits (root at
             # kv.length; level-d rows at kv.length + d + 1)
             lg = logits_fn(lg0, length + jnp.zeros((1,), jnp.int32) + i)
-        lg = jnp.broadcast_to(lg, (rows, lg.shape[-1]))
-        idx, q, dist = _sample_rows(lg, r, K, warp, pin)
+        # every row of a level shares ONE distribution, so the warp (whose
+        # top-k threshold search is the expensive part at V=65536) runs on
+        # the single [1, V] row and only the per-row sampling noise sees the
+        # broadcast — bit-identical to warping the broadcast rows (identical
+        # rows -> identical row-wise results; tests/test_stale_draft.py)
+        V = lg.shape[-1]
+        if warp.active and pin is None:
+            probs = jnp.broadcast_to(
+                jax.nn.softmax(warp_logits(lg, warp), axis=-1), (rows, V))
+            idx, q = sample_without_replacement(r, probs, K)
+            dist = probs
+        else:
+            idx1, q1, dist1 = _sample_rows(lg, r, K, warp, pin)
+            idx = jnp.broadcast_to(idx1, (rows, K))
+            q = jnp.broadcast_to(q1, (rows, K))
+            dist = jnp.broadcast_to(dist1, (rows, dist1.shape[-1]))
         ss_token.append(idx)
         ss_prob.append(q)
         level_probs.append(dist)
