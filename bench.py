@@ -595,6 +595,10 @@ def lumina_main():
         warp=warp, cfg_scale=3.0, lantern=LanternSpec(k=LK, delta=LD),
         max_new=MAX_NEW, mode="static", kv_quant=KVQ,
         stale_draft=not trained,
+        # the tree block never hits the cache: accepted rows commit through
+        # the next verify forward's extra_kv (kills the per-step rollback
+        # kernel, ~0.9 ms at this geometry); dense-attention path only
+        deferred_commit=not cfg.use_flash_attention,
     )
 
     def run_spec(seed):

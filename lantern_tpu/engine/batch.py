@@ -55,6 +55,11 @@ class BatchedEngine:
 
     def __post_init__(self):
         ecfg, cfg, dcfg, tree = self.ecfg, self.cfg, self.dcfg, self.tree
+        if ecfg.deferred_commit:
+            # per-slot carried tree blocks + extra_kv writes under vmap are
+            # unsupported (and the rollback kernel already batches); the
+            # single-request engine is where the deferred path pays off
+            raise ValueError("deferred_commit is unsupported in BatchedEngine")
         rope = tfm.make_rope_tables(cfg)
         drope = tfm.make_rope_tables(dcfg.model)
         logits_mask, logits_fn = self.logits_mask, self.logits_fn

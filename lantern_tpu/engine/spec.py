@@ -66,6 +66,18 @@ class SpecDecodeConfig:
     # matmuls per step (drf.draft_stale).  dparams become dead weight-side
     # inputs; the drafter KV shrinks to a stub.
     stale_draft: bool = False
+    # Deferred KV commit (static mode, dense MHA path): the tree block's
+    # roped K/V never hit the cache — the engine carries them and the NEXT
+    # verification forward commits only the accepted rows (tfm.forward
+    # ``extra_kv``) while exposing them to the new tree's attention as
+    # in-flight columns.  Removes the per-step tree-rollback kernel
+    # (kv.accept_path, ~0.9 ms/step at Lumina-7B geometry) at the cost of a
+    # carried [L, B, N+1, n_kv, hd] block (~27 MB bf16 at 7B).  Values the
+    # next steps read are bit-identical (same fake-quant round-trip); the
+    # softmax's column order changes (accepted rows move from the prefix
+    # term to the block term), so logits agree only to f32 reduction
+    # tolerance — same class of difference as a tree-shape change.
+    deferred_commit: bool = False
     # EOS-terminated (variable-length / interleaved) generation: the decode
     # loop stops once any of these ids is COMMITTED, and SpecResult.n_valid
     # marks the stream end (stop id included).  This implements the intended
@@ -92,6 +104,10 @@ class SpecState(NamedTuple):
     accept_sum: jnp.ndarray         # [] total accepted tokens (incl. roots)
     rng: jax.Array
     stopped: jnp.ndarray = np.zeros((), bool)  # [] a stop id was committed
+    # deferred-commit carry (ecfg.deferred_commit; None otherwise):
+    blk: object = None              # (k, v) [L, B, N+1, n_kv, hd] tree block
+    psel: object = None             # [D] accepted slots into blk
+    pn: object = None               # [] accepted count (rows to commit)
 
 
 class SpecResult(NamedTuple):
@@ -199,9 +215,20 @@ def _verify_and_update(
 
     # --- base tree-verification forward (provisional KV write) ---
     tok2 = jnp.broadcast_to(tree_tokens[None, :], (2, N1))
-    positions = tree_pos + state.base_kv.length
+    deferred = ecfg.deferred_commit
+    # committed length as seen by THIS forward: with deferred commit the
+    # previous step's accepted rows are not in the cache yet — they ride in
+    # as extra_kv and are committed by this very call
+    eff_len = state.base_kv.length + (state.pn if deferred else 0)
+    positions = tree_pos + eff_len
     if ctx.pos_offsets is not None:
         positions = jnp.maximum(positions[None, :] - ctx.pos_offsets[:, None], 0)
+    if deferred:
+        sel_prev = jnp.clip(state.psel, 0)
+        ex = (jnp.take(state.blk[0], sel_prev, axis=2),
+              jnp.take(state.blk[1], sel_prev, axis=2), state.pn)
+    else:
+        ex = None
     res = tfm.forward(
         ctx.params, cfg, tfm.token_embed(ctx.params, tok2),
         state.base_kv,
@@ -210,6 +237,8 @@ def _verify_and_update(
         block_mask=tree_mask,
         prefix_valid=ctx.prefix_valid,
         commit=False,
+        extra_kv=ex,
+        defer_block=deferred,
     )
     logits_raw = cfg_combine(tfm.logits_head(ctx.params, res.hidden), ecfg.cfg_scale)[0]
     logits_all = logits_raw
@@ -220,7 +249,7 @@ def _verify_and_update(
         # position-indexed constraints over tree nodes (Lumina grid FSM,
         # ea_model_lumina_mgpt.py:600-605); cond-branch positions index the
         # grid state
-        logits_all = ctx.logits_fn(logits_all, tree_pos + state.base_kv.length)
+        logits_all = ctx.logits_fn(logits_all, tree_pos + eff_len)
     hidden_new = res.hidden                                     # [2, N+1, H]
 
     state_rng, verify_rng, bonus_rng = jax.random.split(state.rng, 3)
@@ -261,8 +290,13 @@ def _verify_and_update(
     sel_tokens = tree_tokens[sel_slots]                          # [D]
 
     # --- base KV rollback: compact accepted rows (fused in-kernel gather:
-    # the accepted slots all live in the N1-row provisional tree window) ---
-    base_kv = res.kv.accept_path(sel_slots, n_acc, block_size=N1)
+    # the accepted slots all live in the N1-row provisional tree window).
+    # Deferred mode: nothing to roll back — the block never hit the cache;
+    # the accepted rows commit through the NEXT forward's extra_kv.
+    if deferred:
+        base_kv = res.kv               # prev accepted rows committed above
+    else:
+        base_kv = res.kv.accept_path(sel_slots, n_acc, block_size=N1)
 
     # --- commit tokens ---
     cand_row = jnp.where(jnp.arange(D) < n_acc, sel_tokens, 0)
@@ -306,6 +340,7 @@ def _verify_and_update(
         accept_sum=state.accept_sum + n_acc,
         rng=state_rng,
         stopped=stopped,
+        **(dict(blk=res.block, psel=sel_slots, pn=n_acc) if deferred else {}),
     )
     return state, root_out
 
@@ -357,8 +392,10 @@ def make_static_step(
         # --- next draft tree ---
         rng, draft_rng = jax.random.split(state.rng)
         if ecfg.stale_draft:
+            committed = state.base_kv.length + (
+                state.pn if ecfg.deferred_commit else 0)
             new_draft = drf.draft_stale(
-                spec, root_out, state.base_kv.length, ecfg.dwarp, draft_rng,
+                spec, root_out, committed, ecfg.dwarp, draft_rng,
                 logits_mask=ctx.logits_mask, logits_fn=ctx.logits_fn,
                 pin=ecfg.pin,
             )
@@ -567,6 +604,18 @@ def prefill_request(
             logits_fn=ctx.logits_fn, prefix_valid=ctx.drafter_pv,
         )
 
+    if ecfg.deferred_commit:
+        if ecfg.mode != "static":
+            raise ValueError("deferred_commit requires mode='static'")
+        N1 = int(spec.tree_indices.shape[0])
+        D = int(spec.retrieve_indices.shape[1])
+        zblk = jnp.zeros(
+            (cfg.num_layers, 2, N1, cfg.num_kv_heads, cfg.head_dim),
+            cfg.jnp_dtype)
+        pend = dict(blk=(zblk, zblk), psel=jnp.zeros((D,), jnp.int32),
+                    pn=jnp.zeros((), jnp.int32))
+    else:
+        pend = {}
     state = SpecState(
         base_kv=base_kv,
         draft_kv=draft_kv,
@@ -578,6 +627,7 @@ def prefill_request(
         accept_sum=jnp.zeros((), jnp.int32),
         rng=rng,
         stopped=jnp.zeros((), bool),
+        **pend,
     )
     return state, prefix_valid, offs
 

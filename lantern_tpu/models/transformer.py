@@ -239,6 +239,12 @@ def build_mask(
 class ForwardResult(NamedTuple):
     hidden: jnp.ndarray          # [B, T, H] final-norm hidden states
     kv: KVCache                  # cache with the new block written at length
+    # deferred-commit mode (``defer_block=True``): the block's roped K/V
+    # ([L, B, T, n_kv, hd] pair) returned INSTEAD of being written to the
+    # cache — the speculative engine carries it and commits only the
+    # accepted rows through the next forward's ``extra_kv``, eliminating
+    # the per-step tree-rollback kernel (kv.accept_path)
+    block: object = None
 
 
 def forward(
@@ -253,8 +259,20 @@ def forward(
     prefix_override: Optional[jnp.ndarray] = None,  # [T, S] custom visibility
     commit: bool = True,
     write_offset=0,
+    extra_kv=None,
+    defer_block: bool = False,
 ) -> ForwardResult:
     """Run the decoder over a new token block against the KV cache.
+
+    ``extra_kv``: optional ``(k_ex [L, B, A, n_kv, hd], v_ex, n_valid)`` of
+    already-roped K/V rows (a previous block's accepted rows, carried by the
+    engine) to commit this call: they are written at ``length`` (advancing it
+    by the traced ``n_valid``) AND exposed to the new block's attention as
+    leading in-flight columns (cols ``>= n_valid`` masked), so the committed
+    prefix the block sees is identical to having compacted them into the
+    cache first — without the separate rollback kernel.  Requires the dense
+    MHA path.  ``defer_block=True`` skips writing the new block and returns
+    its roped K/V in ``ForwardResult.block`` for the engine to carry.
 
     ``commit=False`` writes the block's K/V provisionally (tree verification):
     the cache length does not advance; the caller later compacts accepted rows
@@ -274,8 +292,11 @@ def forward(
     # flash only on real TPU: interpret-mode pallas inside lax.scan trips an
     # MLIR lowering-cache bug in this jax version; kernel semantics are
     # covered by standalone interpret tests
+    if extra_kv is not None and nkv != nh:
+        raise ValueError("extra_kv (deferred commit) requires MHA")
     use_flash = (
         cfg.use_flash_attention and prefix_override is None and nkv == nh
+        and extra_kv is None
         and S % 128 == 0 and kv.group_width == GRP
         and S >= cfg.flash_min_seq
         # the kernel holds the whole query block in VMEM — fine for decode
@@ -302,6 +323,16 @@ def forward(
         mask_prefix, mask_block = build_mask(
             T, S, kv.length, block_mask, prefix_valid, B, prefix_override
         )
+        if extra_kv is not None:
+            # leading in-flight columns for the carried accepted rows: valid
+            # for every query row where col < n_valid (they are committed
+            # prefix), -inf past it
+            A_ex = extra_kv[0].shape[2]
+            exvis = jnp.arange(A_ex)[None, :] < extra_kv[2]      # [1, A]
+            mex = jnp.where(exvis, 0.0, NEG_INF).astype(jnp.float32)
+            mex = jnp.broadcast_to(mex[:, None, None, :],
+                                   (mask_block.shape[0], 1, T, A_ex))
+            mask_block = jnp.concatenate([mex, mask_block], axis=-1)
     apply_rope = (
         apply_rope_interleaved if cfg.rope_pairing == "interleaved" else apply_rope_half
     )
@@ -321,6 +352,7 @@ def forward(
     inscan = (
         WRITE_IN_SCAN != "never"
         and not kv.quantized
+        and extra_kv is None and not defer_block
         and not isinstance(kv.length, _batching.BatchTracer)
         and not any(isinstance(x, _batching.BatchTracer)
                     for x in (kv.k, kv.v, embeds))
@@ -403,11 +435,31 @@ def forward(
             pk = W // hd
             k5 = k_cache.reshape(B, Gd, S, pk, hd)
             v5 = v_cache.reshape(B, Gd, S, pk, hd)
+            k_bu, v_bu = k_use, v_use
+            U = T
+            if extra_kv is not None:
+                # carried accepted rows ride as leading in-flight columns;
+                # round-trip through the cache quantizer so what the block
+                # sees is bit-identical to reading them back from the int8
+                # cache after their (this call's) write
+                A_ex = extra_kv[0].shape[2]
+                k_ex = jax.lax.dynamic_index_in_dim(extra_kv[0], idx, 0,
+                                                    keepdims=False)
+                v_ex = jax.lax.dynamic_index_in_dim(extra_kv[1], idx, 0,
+                                                    keepdims=False)
+                if kv_quant:
+                    k_ex = ungroup_blocks(fake_quant_rows(
+                        group_blocks(k_ex))).reshape(B, A_ex, nkv, hd)
+                    v_ex = ungroup_blocks(fake_quant_rows(
+                        group_blocks(v_ex))).reshape(B, A_ex, nkv, hd)
+                k_bu = jnp.concatenate([k_ex.astype(k_use.dtype), k_use], axis=1)
+                v_bu = jnp.concatenate([v_ex.astype(v_use.dtype), v_use], axis=1)
+                U = A_ex + T
             # q and the in-flight rows are T-sized (small): transposing them
             # into [B, G, pk, T, hd] is cheap
             qg = q.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
-            ku = k_use.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
-            vu = v_use.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
+            ku = k_bu.reshape(B, U, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
+            vu = v_bu.reshape(B, U, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
             s_pre = jnp.einsum(
                 "bgptd,bgspd->bgpts", qg, k5,
                 preferred_element_type=jnp.float32,
@@ -473,6 +525,7 @@ def forward(
             return (h2, kb, vb), None
         return h2, (k, v)
 
+    block = None
     if inscan:
         (hidden, k_buf, v_buf), _ = jax.lax.scan(
             layer, (embeds, kv.k, kv.v),
@@ -489,10 +542,19 @@ def forward(
             (jnp.arange(cfg.num_layers), lp),
             unroll=min(cfg.scan_unroll, cfg.num_layers),
         )
-        kv = kv.write(k_new, v_new, advance=commit, offset=write_offset)
+        if extra_kv is not None:
+            # commit the carried accepted rows: one write kernel (rows past
+            # n_valid land as garbage in not-yet-committed territory and are
+            # overwritten by the next commit before any read)
+            kv = kv.write(extra_kv[0], extra_kv[1], advance=False)
+            kv = kv.commit(extra_kv[2])
+        if defer_block:
+            block = (k_new, v_new)
+        else:
+            kv = kv.write(k_new, v_new, advance=commit, offset=write_offset)
     if cfg.final_norm:
         hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
-    return ForwardResult(hidden=hidden, kv=kv)
+    return ForwardResult(hidden=hidden, kv=kv, block=block)
 
 
 def train_mask(T: int, attn_valid: Optional[jnp.ndarray]) -> jnp.ndarray:
