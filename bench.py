@@ -250,6 +250,9 @@ def xl_main():
         ecfg = spec.SpecDecodeConfig(
             warp=warp, cfg_scale=3.0, lantern=lantern,
             max_new=IMAGE_TOKENS, mode="static", kv_quant=KVQ,
+            # carry the tree block, commit accepted rows pre-scan next step
+            # (kills the per-step accept_path rollback kernel; token-exact)
+            deferred_commit=os.environ.get("BENCH_XL_DEFER", "1") == "1",
         )
 
         def run(seed):

@@ -66,17 +66,17 @@ class SpecDecodeConfig:
     # matmuls per step (drf.draft_stale).  dparams become dead weight-side
     # inputs; the drafter KV shrinks to a stub.
     stale_draft: bool = False
-    # Deferred KV commit (static mode, dense MHA path): the tree block's
-    # roped K/V never hit the cache — the engine carries them and the NEXT
-    # verification forward commits only the accepted rows (tfm.forward
-    # ``extra_kv``) while exposing them to the new tree's attention as
-    # in-flight columns.  Removes the per-step tree-rollback kernel
-    # (kv.accept_path, ~0.9 ms/step at Lumina-7B geometry) at the cost of a
-    # carried [L, B, N+1, n_kv, hd] block (~27 MB bf16 at 7B).  Values the
-    # next steps read are bit-identical (same fake-quant round-trip); the
-    # softmax's column order changes (accepted rows move from the prefix
-    # term to the block term), so logits agree only to f32 reduction
-    # tolerance — same class of difference as a tree-shape change.
+    # Deferred KV commit (static mode): the tree block's roped K/V never hit
+    # the cache — the engine carries them (SpecState.blk) and the NEXT
+    # verification forward commits only the accepted rows, pre-scan, via
+    # tfm.forward ``extra_kv``.  Replaces two stacked write kernels per step
+    # (the N+1-row provisional write + the kv.accept_path rollback gather,
+    # together ~1.4 ms/step at Lumina-7B geometry, worse for trees past 32
+    # nodes where the int8 staging window doubles) with ONE path-length-row
+    # write, at the cost of a carried [L, B, N+1, n_kv, hd] block (~27 MB
+    # bf16 at 7B).  Bit-identical to the accept_path engine: committed
+    # bytes, attention column order, and rng stream are all unchanged
+    # (tests/test_deferred_commit.py asserts token-exact streams).
     deferred_commit: bool = False
     # EOS-terminated (variable-length / interleaved) generation: the decode
     # loop stops once any of these ids is COMMITTED, and SpecResult.n_valid

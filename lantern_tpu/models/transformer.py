@@ -266,13 +266,14 @@ def forward(
 
     ``extra_kv``: optional ``(k_ex [L, B, A, n_kv, hd], v_ex, n_valid)`` of
     already-roped K/V rows (a previous block's accepted rows, carried by the
-    engine) to commit this call: they are written at ``length`` (advancing it
-    by the traced ``n_valid``) AND exposed to the new block's attention as
-    leading in-flight columns (cols ``>= n_valid`` masked), so the committed
-    prefix the block sees is identical to having compacted them into the
-    cache first — without the separate rollback kernel.  Requires the dense
-    MHA path.  ``defer_block=True`` skips writing the new block and returns
-    its roped K/V in ``ForwardResult.block`` for the engine to carry.
+    engine) committed BEFORE the layer scan: one write kernel places them at
+    ``length`` and advances it by the traced ``n_valid`` (rows past
+    ``n_valid`` land as garbage above the committed frontier and are
+    overwritten by the next commit before any read), so the block's
+    attention reads them from the cache prefix bit-identically to having
+    compacted them with ``kv.accept_path`` — without the rollback kernel.
+    ``defer_block=True`` skips writing the new block and returns its roped
+    K/V in ``ForwardResult.block`` for the engine to carry.
 
     ``commit=False`` writes the block's K/V provisionally (tree verification):
     the cache length does not advance; the caller later compacts accepted rows
@@ -289,14 +290,19 @@ def forward(
     # blocks may run past the end near the image boundary
     positions = jnp.clip(positions, 0, cos.shape[0] - 1)
 
+    if extra_kv is not None:
+        # deferred-commit: the carried accepted rows don't depend on this
+        # block's compute, so they commit BEFORE the layer scan — one write
+        # kernel, and the block's attention then reads them from the cache
+        # prefix exactly as if kv.accept_path had compacted them (bit-
+        # identical scores, same softmax column order)
+        kv = kv.write(extra_kv[0], extra_kv[1], advance=False)
+        kv = kv.commit(extra_kv[2])
     # flash only on real TPU: interpret-mode pallas inside lax.scan trips an
     # MLIR lowering-cache bug in this jax version; kernel semantics are
     # covered by standalone interpret tests
-    if extra_kv is not None and nkv != nh:
-        raise ValueError("extra_kv (deferred commit) requires MHA")
     use_flash = (
         cfg.use_flash_attention and prefix_override is None and nkv == nh
-        and extra_kv is None
         and S % 128 == 0 and kv.group_width == GRP
         and S >= cfg.flash_min_seq
         # the kernel holds the whole query block in VMEM — fine for decode
@@ -323,16 +329,6 @@ def forward(
         mask_prefix, mask_block = build_mask(
             T, S, kv.length, block_mask, prefix_valid, B, prefix_override
         )
-        if extra_kv is not None:
-            # leading in-flight columns for the carried accepted rows: valid
-            # for every query row where col < n_valid (they are committed
-            # prefix), -inf past it
-            A_ex = extra_kv[0].shape[2]
-            exvis = jnp.arange(A_ex)[None, :] < extra_kv[2]      # [1, A]
-            mex = jnp.where(exvis, 0.0, NEG_INF).astype(jnp.float32)
-            mex = jnp.broadcast_to(mex[:, None, None, :],
-                                   (mask_block.shape[0], 1, T, A_ex))
-            mask_block = jnp.concatenate([mex, mask_block], axis=-1)
     apply_rope = (
         apply_rope_interleaved if cfg.rope_pairing == "interleaved" else apply_rope_half
     )
@@ -352,7 +348,7 @@ def forward(
     inscan = (
         WRITE_IN_SCAN != "never"
         and not kv.quantized
-        and extra_kv is None and not defer_block
+        and not defer_block
         and not isinstance(kv.length, _batching.BatchTracer)
         and not any(isinstance(x, _batching.BatchTracer)
                     for x in (kv.k, kv.v, embeds))
@@ -435,31 +431,11 @@ def forward(
             pk = W // hd
             k5 = k_cache.reshape(B, Gd, S, pk, hd)
             v5 = v_cache.reshape(B, Gd, S, pk, hd)
-            k_bu, v_bu = k_use, v_use
-            U = T
-            if extra_kv is not None:
-                # carried accepted rows ride as leading in-flight columns;
-                # round-trip through the cache quantizer so what the block
-                # sees is bit-identical to reading them back from the int8
-                # cache after their (this call's) write
-                A_ex = extra_kv[0].shape[2]
-                k_ex = jax.lax.dynamic_index_in_dim(extra_kv[0], idx, 0,
-                                                    keepdims=False)
-                v_ex = jax.lax.dynamic_index_in_dim(extra_kv[1], idx, 0,
-                                                    keepdims=False)
-                if kv_quant:
-                    k_ex = ungroup_blocks(fake_quant_rows(
-                        group_blocks(k_ex))).reshape(B, A_ex, nkv, hd)
-                    v_ex = ungroup_blocks(fake_quant_rows(
-                        group_blocks(v_ex))).reshape(B, A_ex, nkv, hd)
-                k_bu = jnp.concatenate([k_ex.astype(k_use.dtype), k_use], axis=1)
-                v_bu = jnp.concatenate([v_ex.astype(v_use.dtype), v_use], axis=1)
-                U = A_ex + T
             # q and the in-flight rows are T-sized (small): transposing them
             # into [B, G, pk, T, hd] is cheap
             qg = q.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
-            ku = k_bu.reshape(B, U, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
-            vu = v_bu.reshape(B, U, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
+            ku = k_use.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
+            vu = v_use.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
             s_pre = jnp.einsum(
                 "bgptd,bgspd->bgpts", qg, k5,
                 preferred_element_type=jnp.float32,
@@ -542,12 +518,6 @@ def forward(
             (jnp.arange(cfg.num_layers), lp),
             unroll=min(cfg.scan_unroll, cfg.num_layers),
         )
-        if extra_kv is not None:
-            # commit the carried accepted rows: one write kernel (rows past
-            # n_valid land as garbage in not-yet-committed territory and are
-            # overwritten by the next commit before any read)
-            kv = kv.write(extra_kv[0], extra_kv[1], advance=False)
-            kv = kv.commit(extra_kv[2])
         if defer_block:
             block = (k_new, v_new)
         else:

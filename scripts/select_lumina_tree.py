@@ -183,8 +183,10 @@ def main():
             warp=warp, cfg_scale=3.0, lantern=LanternSpec(k=10, delta=5.0),
             max_new=MAX_NEW, mode="static", kv_quant=True,
             # measure the bench's production config: drafter-free stale
-            # drafting when no trained drafter exists (bench.py lumina lane)
+            # drafting when no trained drafter exists + deferred KV commit
+            # on the dense path (bench.py lumina lane)
             stale_draft=not os.path.exists(ck),
+            deferred_commit=not cfg.use_flash_attention,
         )
 
         def run(seed):

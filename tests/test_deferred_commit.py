@@ -8,12 +8,10 @@ columns.  This removes the per-step tree-rollback kernel (kv.accept_path;
 the reference's per-step ``KVCache.copy``, kv_cache.py:38-50) from the
 decode hot loop.
 
-Numerics: the committed values later steps read are bit-identical (same
-fake-quant round-trip as the cache write), but the attention softmax sums
-its columns in a different order (accepted rows move from the prefix term
-to the block term), so sampled-token streams agree only to f32 reduction
-tolerance.  Greedy decoding compares token-exact (argmax flips need exact
-f32 ties); sampling modes compare step compression and grammar.
+Numerics: the accepted rows commit BEFORE the next forward's layer scan, so
+that forward reads them from the cache prefix exactly as the accept_path
+engine would — committed bytes, attention column order, and the rng stream
+are all unchanged.  Every mode therefore compares token-exact.
 """
 
 import numpy as np
@@ -109,16 +107,14 @@ def test_deferred_greedy_full_drafter(setup):
     assert_same(base, deferred)
 
 
-def test_deferred_sampling_grammar_and_compression(setup):
-    """Stochastic LANTERN acceptance: streams agree only to f32 reduction
-    order, so compare the engine-level invariants — FSM grammar holds and
-    step compression matches closely across seeds."""
+def test_deferred_sampling_token_exact(setup):
+    """Stochastic LANTERN acceptance + int8 KV: token-exact across seeds,
+    and the grid grammar holds through the deferred path."""
     cfg, dcfg, params, dparams, tp, fsm = setup
     emb = np.asarray(params["embed"], np.float64)
     d = ((emb[:, None] - emb[None]) ** 2).sum(-1)
     nearest = jnp.asarray(np.argsort(d, axis=1)[:, 1:10].astype(np.int32))
     p2 = dict(params, nearest_latents=nearest)
-    comps = []
     for seed in (3, 11):
         base, deferred = run_pair(
             cfg, dcfg, p2, dparams,
@@ -126,14 +122,10 @@ def test_deferred_sampling_grammar_and_compression(setup):
                  max_new=MAX_NEW, stale_draft=True, kv_quant=True,
                  lantern=LanternSpec(k=4, delta=0.5)),
             tp, fsm, seed=seed)
+        assert_same(base, deferred)
         toks = np.asarray(deferred.tokens)[:MAX_NEW]
         np.testing.assert_array_equal(toks[W_GRID::W_GRID + 1][:H_GRID],
                                       [NEWLINE] * H_GRID)
-        comps.append((float(base.step_compression),
-                      float(deferred.step_compression)))
-    b = np.mean([c[0] for c in comps])
-    f = np.mean([c[1] for c in comps])
-    assert abs(b - f) / b < 0.35, comps
 
 
 def test_deferred_requires_static(setup):
