@@ -636,7 +636,8 @@ def lumina_main():
             "verify_steps_per_s": round(float(sres.steps) / t_spec, 2),
             "weights": "int8",
             "kv": "int8" if KVQ else "bf16",
-            "flash": os.environ.get("BENCH_LUMINA_FLASH", "1") == "1",
+            "flash": cfg.use_flash_attention,
+            "deferred_commit": ecfg.deferred_commit,
             "tree": TREE,
             "backend": jax.default_backend(),
         },

@@ -411,6 +411,22 @@ def stochastic_verify_tree(
         raise ValueError("lantern acceptance requires a nearest-latent table")
 
     D = depth + 1
+    # The walk needs the warped target distribution at each visited node —
+    # a serial chain of `depth` single-row warps (each a 32-pass top-k
+    # threshold search).  For small N*V, warping ALL node rows once up
+    # front is cheaper than the serial chain (one batched pass, rows are
+    # independent); for large V (Lumina's 65536) the batched bandwidth
+    # exceeds the chain's latency and the per-level warp wins.  Row-wise
+    # results are identical either way, so this is purely a cost choice.
+    batch_warp = N1 * V <= (1 << 20)
+    warped_all = (jax.nn.softmax(warp_logits(node_logits, warp), axis=-1)
+                  if batch_warp else None)
+
+    def node_dist(cur):
+        if batch_warp:
+            return warped_all[cur]
+        return jax.nn.softmax(warp_logits(node_logits[cur], warp), axis=-1)
+
     state = _WalkState(
         done=jnp.asarray(False),
         cur=jnp.zeros((), jnp.int32),
@@ -428,7 +444,7 @@ def stochastic_verify_tree(
             u = jax.random.uniform(r, (C,))
 
         active = (~state.done) & (state.accept_len == i)
-        gtp0 = jax.nn.softmax(warp_logits(node_logits[state.cur], warp), axis=-1)
+        gtp0 = node_dist(state.cur)
         # jnp.take: children may be a host numpy constant (tracer index)
         kids = jnp.take(children, state.cur, axis=0)       # [C]
         kid_tok = jnp.where(kids >= 0, tree_tokens[jnp.maximum(kids, 0)], -1)
@@ -519,9 +535,7 @@ def stochastic_verify_tree(
         )
 
     full = state.accept_len == D
-    base_dist = jax.nn.softmax(
-        warp_logits(node_logits[state.cur], warp), axis=-1
-    )
+    base_dist = node_dist(state.cur)
     use_residual = state.adjusted & (~full)
     sample_dist = jnp.where(use_residual, state.sample_dist, base_dist)
     return state.path, state.accept_len - 1, sample_dist
