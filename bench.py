@@ -70,7 +70,10 @@ def main():
     # --- north-star lane first: Lumina-mGPT-7B-class geometry -------------
     lumina_lines = []
     if os.environ.get("BENCH_LUMINA", "1") == "1":
-        t_lum = min(float(os.environ.get("BENCH_LUMINA_TIMEOUT", 660)),
+        # the lane's long pole is the lazy 7B param transfer over the remote
+        # tunnel (measured 240-460 s run-to-run, independent of the compile
+        # cache); give the headline lane room before the XL lane competes
+        t_lum = min(float(os.environ.get("BENCH_LUMINA_TIMEOUT", 730)),
                     remaining() - 30)
         note(f"lumina lane starting (timeout {t_lum:.0f}s)")
         lumina_lines = run_lane("lumina", t_lum)
