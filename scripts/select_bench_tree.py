@@ -123,6 +123,8 @@ def main():
             warp=warp, cfg_scale=3.0,
             lantern=LanternSpec(k=args.lantern_k, delta=args.lantern_delta),
             max_new=args.tokens, mode="static",
+            # match the bench lane's production engine (bench.py xl lane)
+            deferred_commit=os.environ.get("BENCH_XL_DEFER", "1") == "1",
         )
 
         def run(seed):
