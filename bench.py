@@ -67,6 +67,47 @@ def main():
             note(f"{geom} lane timed out after {timeout:.0f}s")
             return lines
 
+    # --- compiled-Mosaic kernel parity FIRST, under a hard sub-budget -----
+    # r4 postmortem: the selftest ran last, the lanes consumed the driver
+    # budget, and the timeout was a benign stderr note — the round recorded
+    # no on-chip kernel-parity evidence.  Now it runs first (small, compile-
+    # cached after the first run), cannot starve the lanes (hard cap), and
+    # its status is stamped into every lane's JSON extra so a timeout is
+    # visible in the record, not just the tail.
+    selftest = "skipped"
+    if os.environ.get("BENCH_SELFTEST", "1") == "1":
+        t_st = min(float(os.environ.get("BENCH_SELFTEST_TIMEOUT", 240)),
+                   max(0.0, remaining() - 600))
+        if t_st > 20:
+            note(f"kernel selftest starting (timeout {t_st:.0f}s)")
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-m", "lantern_tpu.ops.pallas.selftest"],
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                    text=True, timeout=t_st)
+                if r.returncode != 0:
+                    selftest = "FAIL"
+                    note(f"KERNEL SELFTEST FAILED:\n{r.stdout[-800:]}")
+                else:
+                    selftest = "ok"
+                    note("kernel selftest OK: "
+                         f"{r.stdout.strip().splitlines()[-1]}")
+            except subprocess.TimeoutExpired:
+                selftest = "timeout"
+                note("kernel selftest TIMED OUT (status recorded in JSON)")
+        else:
+            note("kernel selftest skipped: no budget headroom")
+
+    def stamp(line):
+        """Inject the selftest status into a lane's JSON extra."""
+        try:
+            obj = json.loads(line)
+            obj.setdefault("extra", {})["selftest"] = selftest
+            return json.dumps(obj)
+        except Exception:  # noqa: BLE001
+            return line
+
     # --- north-star lane first: Lumina-mGPT-7B-class geometry -------------
     lumina_lines = []
     if os.environ.get("BENCH_LUMINA", "1") == "1":
@@ -89,31 +130,16 @@ def main():
         else:
             note("XL lane skipped: budget exhausted")
     for ln in xl_lines:
-        print(ln, flush=True)
+        print(stamp(ln), flush=True)
     # Lumina line LAST -> it is the parsed headline.  If the lumina lane
     # produced nothing, the XL line above is the (fallback) headline.
     for ln in lumina_lines:
-        print(ln, flush=True)
+        print(stamp(ln), flush=True)
     if not lumina_lines and not xl_lines:
         note("no lane produced a JSON line")
         sys.exit(2)
-
-    # --- compiled-Mosaic kernel parity, never at the measurement's expense
-    if os.environ.get("BENCH_SELFTEST", "1") == "1" and remaining() > 30:
-        t_st = min(float(os.environ.get("BENCH_SELFTEST_TIMEOUT", 300)),
-                   remaining() - 10)
-        try:
-            r = subprocess.run(
-                [sys.executable, "-m", "lantern_tpu.ops.pallas.selftest"],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-                timeout=t_st)
-            if r.returncode != 0:
-                note(f"KERNEL SELFTEST FAILED:\n{r.stdout[-800:]}")
-                sys.exit(3)   # lines already printed; rc flags the regression
-            note(f"kernel selftest OK: {r.stdout.strip().splitlines()[-1]}")
-        except subprocess.TimeoutExpired:
-            note("kernel selftest timed out (not a failure; see stderr)")
+    if selftest == "FAIL":
+        sys.exit(3)   # lines already printed; rc flags the regression
 
 
 def xl_main():
@@ -253,6 +279,7 @@ def xl_main():
         ecfg = spec.SpecDecodeConfig(
             warp=warp, cfg_scale=3.0, lantern=lantern,
             max_new=IMAGE_TOKENS, mode="static", kv_quant=KVQ,
+            walk_batch_warp=True,   # pinned (advisor r4): one batched warp
             # carry the tree block, commit accepted rows pre-scan next step
             # (kills the per-step accept_path rollback kernel; token-exact)
             deferred_commit=os.environ.get("BENCH_XL_DEFER", "1") == "1",
@@ -600,6 +627,10 @@ def lumina_main():
     ecfg = spec.SpecDecodeConfig(
         warp=warp, cfg_scale=3.0, lantern=LanternSpec(k=LK, delta=LD),
         max_new=MAX_NEW, mode="static", kv_quant=KVQ,
+        # pinned batched walk warp (advisor r4): one [N+1, 65536] pass
+        # replaces the serial per-visited-node warp chain (~-0.25 ms/step,
+        # scripts/profile_lumina_glue.py r5)
+        walk_batch_warp=True,
         stale_draft=not trained,
         # the tree block never hits the cache: accepted rows commit through
         # the next verify forward's extra_kv (kills the per-step rollback

@@ -67,6 +67,17 @@ class ModelConfig:
     # S=512); flash pays off once the cache is long enough that streaming
     # only the live prefix matters (Lumina's 2.4K-token images)
     flash_min_seq: int = 1024
+    # Dense-attention softmax plumbing (the nh == nkv grouped-layout path).
+    # "fused": two-part streaming softmax — prefix and block scores are never
+    # concatenated; unnormalized exp() weights are cast to the model dtype and
+    # fed straight into the AV matmuls, with ONE divide after the dot; int8 KV
+    # scales factor OUT of the dots (k_scale multiplies scores over the key
+    # axis, v_scale folds into the exp weights over the contracted axis), so
+    # the dequantized [B,G,S,W] cache is never materialized in HBM.
+    # "concat": the r4 path (jax.nn.softmax over the concatenated [.., S+T]
+    # scores against a dequantized cache) — kept for A/B and bit-exact
+    # comparison against old goldens.
+    dense_softmax: str = "fused"
     # lax.scan unroll over the layer stack.  Measured DEAD END on v5e
     # (scripts/probe_unroll.py, PERF.md r4 table): unroll 2/4/6 all SLOW the
     # XL decode forwards 20-45% vs unroll=1 — XLA already pipelines the scan

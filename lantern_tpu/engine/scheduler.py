@@ -32,11 +32,19 @@ class Request:
     token_prompt: Any = None
     prefix_valid: Any = None       # [2, S] pad mask (left-padded captions)
     seed: int = 0
+    # open-loop arrival offset in seconds from Scheduler.run() start; None =
+    # available immediately (closed-loop / saturated).  With arrivals set,
+    # the scheduler only admits a request once its arrival time passes —
+    # the serving bench uses this to drive a Poisson stream against the
+    # batch (the role vLLM's async engine plays for the reference,
+    # vllm_inference_solver.py:243-343)
+    arrival_time: Optional[float] = None
     # results
     tokens: Optional[np.ndarray] = None
     steps: int = 0
     accept_sum: int = 0
-    latency: float = 0.0
+    latency: float = 0.0           # completion - service start (prefill)
+    e2e_latency: float = 0.0       # completion - arrival (includes queueing)
     error: Optional[str] = None    # failure capture: the request failed at
     #   prefill; the batch keeps serving (vllm_inference_solver.py:312-325
     #   records failures per request the same way)
@@ -61,9 +69,21 @@ class Scheduler:
         self.use_native = use_native
 
     def run(self, requests: List[Request], progress: bool = False) -> List[Request]:
+        self._t_run0 = time.perf_counter()
         if self.use_native:
             return self._run_native(requests, progress)
         return self._run_python(requests, progress)
+
+    # ------------------------------------------------------------------
+    def _arrived(self, req: Request) -> bool:
+        return (req.arrival_time is None
+                or time.perf_counter() - self._t_run0 >= req.arrival_time)
+
+    def _finish(self, req: Request):
+        now = time.perf_counter()
+        req.latency = now - req._t0
+        arr = self._t_run0 + (req.arrival_time or 0.0)
+        req.e2e_latency = now - arr
 
     # ------------------------------------------------------------------
     def _prefill(self, req: Request):
@@ -83,15 +103,28 @@ class Scheduler:
         eng = self.engine
         by_uid = {}
         sched = NativeScheduler(eng.num_slots)
-        for i, req in enumerate(requests):
-            uid = i + 1
-            by_uid[uid] = req
-            sched.enqueue(uid, prompt_len=0, max_new=eng.ecfg.max_new)
+        # requests enter the native queue only once their arrival time passes
+        # (open-loop streams); immediate requests enqueue up front
+        pending = sorted((r for r in requests), key=lambda r: r.arrival_time or 0.0)
+
+        def admit():
+            while pending and self._arrived(pending[0]):
+                req = pending.pop(0)
+                uid = len(by_uid) + 1
+                by_uid[uid] = req
+                sched.enqueue(uid, prompt_len=0, max_new=eng.ecfg.max_new)
+        admit()
 
         batch = None
         slot_uid = [0] * eng.num_slots
         done: List[Request] = []
-        while sched.num_active or sched.num_waiting:
+        while sched.num_active or sched.num_waiting or pending:
+            admit()
+            if not (sched.num_active or sched.num_waiting):
+                # idle until the next arrival
+                nxt = self._t_run0 + (pending[0].arrival_time or 0.0)
+                time.sleep(max(0.0, min(0.05, nxt - time.perf_counter())))
+                continue
             for slot, uid in sched.fill_slots():
                 req = by_uid[uid]
                 try:
@@ -99,7 +132,7 @@ class Scheduler:
                 except Exception as e:  # noqa: BLE001 — keep the batch alive
                     if req.error is None:
                         req.error = f"{type(e).__name__}: {e}"
-                    req.latency = time.perf_counter() - req._t0
+                    self._finish(req)
                     sched.fail(uid)
                     done.append(req)
                     if progress:
@@ -129,7 +162,7 @@ class Scheduler:
                     req.tokens = eng.slot_tokens(batch, slot)
                     req.steps = int(st)
                     req.accept_sum = int(ac)
-                    req.latency = time.perf_counter() - req._t0
+                    self._finish(req)
                     done.append(req)
                     if progress:
                         print(f"request {req.uid}: steps={req.steps} "
@@ -142,27 +175,34 @@ class Scheduler:
         if not requests:
             return []
         eng = self.engine
-        queue = deque(requests)
+        queue = deque(sorted(requests, key=lambda r: r.arrival_time or 0.0))
         done: List[Request] = []
         slots: List[Optional[Request]] = [None] * eng.num_slots
 
-        def next_prefilled():
-            """Pop requests until one prefills cleanly; failed ones are
-            recorded (error set) and the batch keeps serving."""
+        def next_prefilled(wait: bool = False):
+            """Pop ARRIVED requests until one prefills cleanly; failed ones
+            are recorded (error set) and the batch keeps serving.  With
+            ``wait``, sleeps for the next arrival when the queue is
+            non-empty but nothing has arrived yet."""
             while queue:
+                if not self._arrived(queue[0]):
+                    if not wait:
+                        return None, None
+                    nxt = self._t_run0 + (queue[0].arrival_time or 0.0)
+                    time.sleep(max(0.0, nxt - time.perf_counter()))
                 req = queue.popleft()
                 try:
                     return req, self._prefill(req)
                 except Exception as e:  # noqa: BLE001
                     if req.error is None:
                         req.error = f"{type(e).__name__}: {e}"
-                    req.latency = time.perf_counter() - req._t0
+                    self._finish(req)
                     done.append(req)
                     if progress:
                         print(f"request {req.uid} FAILED: {req.error}")
             return None, None
 
-        first, proto = next_prefilled()
+        first, proto = next_prefilled(wait=True)
         if first is None:
             return done    # every request failed at prefill
         batch = eng.empty_batch(proto)
@@ -175,7 +215,14 @@ class Scheduler:
             batch = eng.insert(batch, s, pre)
             slots[s] = req
 
-        while any(r is not None for r in slots):
+        while any(r is not None for r in slots) or queue:
+            if not any(r is not None for r in slots):
+                # every slot drained while later arrivals are still pending
+                nxt, pre = next_prefilled(wait=True)
+                if nxt is None:
+                    break
+                batch = eng.insert(batch, 0, pre)
+                slots[0] = nxt
             batch = eng.step(batch)
             n_new, steps, acc = eng.slot_status(batch)
             for s, req in enumerate(slots):
@@ -185,7 +232,7 @@ class Scheduler:
                     req.tokens = eng.slot_tokens(batch, s)
                     req.steps = int(steps[s])
                     req.accept_sum = int(acc[s])
-                    req.latency = time.perf_counter() - req._t0
+                    self._finish(req)
                     done.append(req)
                     if progress:
                         print(f"request {req.uid}: steps={req.steps} "

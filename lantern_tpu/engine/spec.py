@@ -78,6 +78,13 @@ class SpecDecodeConfig:
     # bytes, attention column order, and rng stream are all unchanged
     # (tests/test_deferred_commit.py asserts token-exact streams).
     deferred_commit: bool = False
+    # Acceptance-walk warp mode (acc.stochastic_verify_tree batch_warp):
+    # True warps all tree-node logit rows in one batched pass (kills the
+    # serial per-visited-node warp chain — the measured win at Lumina's
+    # [39, 65536]); False warps visited rows on demand; None keeps the
+    # size heuristic.  Pinned per engine config so tree-size changes never
+    # silently flip the mode (advisor r4).
+    walk_batch_warp: Optional[bool] = None
     # EOS-terminated (variable-length / interleaved) generation: the decode
     # loop stops once any of these ids is COMMITTED, and SpecResult.n_valid
     # marks the stream end (stop id included).  This implements the intended
@@ -108,6 +115,13 @@ class SpecState(NamedTuple):
     blk: object = None              # (k, v) [L, B, N+1, n_kv, hd] tree block
     psel: object = None             # [D] accepted slots into blk
     pn: object = None               # [] accepted count (rows to commit)
+    # INVARIANT (deferred mode): between steps — including after the decode
+    # while_loop exits — base_kv lags the committed token stream by ``pn``
+    # rows; the lagging rows live in ``blk[psel[:pn]]`` and are committed by
+    # the NEXT verification forward's extra_kv.  SpecResult.tokens is always
+    # complete; any future consumer that resumes generation from a terminal
+    # SpecState or reads base_kv directly must first flush the pending rows
+    # (one kv.write(blk[psel]) + commit(pn)).
 
 
 class SpecResult(NamedTuple):
@@ -224,6 +238,11 @@ def _verify_and_update(
     if ctx.pos_offsets is not None:
         positions = jnp.maximum(positions[None, :] - ctx.pos_offsets[:, None], 0)
     if deferred:
+        # index contract (mirrors accept_path's jnp.minimum clamp): psel rows
+        # past pn may be stale/negative — clip(.., 0) floors negatives, and
+        # jnp.take's default mode clamps any entry >= N+1 to the last block
+        # row.  Rows past pn land above the committed frontier as garbage and
+        # are overwritten by the next commit before any read (kv.write docs).
         sel_prev = jnp.clip(state.psel, 0)
         ex = (jnp.take(state.blk[0], sel_prev, axis=2),
               jnp.take(state.blk[1], sel_prev, axis=2), state.pn)
@@ -277,6 +296,7 @@ def _verify_and_update(
             node_level_row=inlevel_rank,
             uniforms=pinned_u,
             rt=ctx.lantern_rt,
+            batch_warp=ecfg.walk_batch_warp,
         )
         if ecfg.pin is None:
             bonus = jax.random.categorical(

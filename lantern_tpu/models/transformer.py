@@ -424,7 +424,8 @@ def forward(
             # split), never transposed — ungroup_cache's per-layer transpose
             # copied the whole live cache every layer (the dominant per-step
             # HBM cost for batched serving and ~0.5 ms/step single-request)
-            if kv_quant:
+            fused = cfg.dense_softmax == "fused"
+            if kv_quant and not fused:
                 k_cache = dequant_cache(k_cache, k_sc, dtype=h.dtype)
                 v_cache = dequant_cache(v_cache, v_sc, dtype=h.dtype)
             Gd, W = k_cache.shape[-3], k_cache.shape[-1]
@@ -434,21 +435,74 @@ def forward(
             # q and the in-flight rows are T-sized (small): transposing them
             # into [B, G, pk, T, hd] is cheap
             qg = q.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
-            ku = k_use.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
-            vu = v_use.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
+            if fused and kv_quant:
+                # In-flight rows mirror the cache read math EXACTLY: scores
+                # are (q . int8-values) * scale on both sides, so what a
+                # token sees during its own verification forward stays
+                # bit-identical to what later steps read back (the fused
+                # analogue of fake_quant_rows' contract)
+                from ..kv import quantize_rows as _qrows
+
+                kq_blk, ks_blk = _qrows(group_blocks(k))       # [B,G,T,W]
+                vq_blk, vs_blk = _qrows(group_blocks(v))
+                ku = kq_blk.astype(h.dtype).reshape(
+                    B, Gd, T, pk, hd).transpose(0, 1, 3, 2, 4)
+                vu = vq_blk.astype(h.dtype).reshape(
+                    B, Gd, T, pk, hd).transpose(0, 1, 3, 2, 4)
+            else:
+                ks_blk = vs_blk = None
+                ku = k_use.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
+                vu = v_use.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
             s_pre = jnp.einsum(
-                "bgptd,bgspd->bgpts", qg, k5,
+                "bgptd,bgspd->bgpts",
+                qg, (k5.astype(h.dtype) if fused and kv_quant else k5),
                 preferred_element_type=jnp.float32,
-            ) * scale + mask_prefix[:, None]
+            ) * scale
+            if fused and kv_quant:
+                # per-(G,S)-row int8 scale factors OUT of the head_dim
+                # contraction: scores scale along the key axis, so the
+                # dequantized cache never hits HBM
+                s_pre = s_pre * k_sc[:, :, None, None, :]
+            s_pre = s_pre + mask_prefix[:, None]
             s_blk = jnp.einsum(
                 "bgptd,bgpud->bgptu", qg, ku,
                 preferred_element_type=jnp.float32,
-            ) * scale + mask_block[:, None]
-            s = jnp.concatenate([s_pre, s_blk], axis=-1)
-            p = jax.nn.softmax(s, axis=-1)
-            p_pre, p_blk = p[..., :S], p[..., S:]
-            o = jnp.einsum("bgpts,bgspd->bgptd", p_pre, v5.astype(jnp.float32))
-            o = o + jnp.einsum("bgptu,bgpud->bgptd", p_blk, vu.astype(jnp.float32))
+            ) * scale
+            if fused and kv_quant:
+                s_blk = s_blk * ks_blk[:, :, None, None, :]
+            s_blk = s_blk + mask_block[:, None]
+            if fused:
+                # two-part streaming softmax: no [.., S+T] concat copy; the
+                # unnormalized exp() weights go into the AV matmuls in the
+                # model dtype (they are <= 1 by the max-shift) and the
+                # normalizing divide happens ONCE on the [.., T, hd] output
+                m = jnp.maximum(s_pre.max(-1), s_blk.max(-1))[..., None]
+                e_pre = jnp.exp(s_pre - m)
+                e_blk = jnp.exp(s_blk - m)
+                den = e_pre.sum(-1) + e_blk.sum(-1)          # [B,G,pk,T]
+                if kv_quant:
+                    # v_scale rides the contracted key axis: fold it into the
+                    # exp weights instead of dequantizing the V cache
+                    ep = (e_pre * v_sc[:, :, None, None, :]).astype(h.dtype)
+                    eb = (e_blk * vs_blk[:, :, None, None, :]).astype(h.dtype)
+                    vv = v5.astype(h.dtype)
+                else:
+                    ep = e_pre.astype(h.dtype)
+                    eb = e_blk.astype(h.dtype)
+                    vv = v5
+                o = jnp.einsum("bgpts,bgspd->bgptd", ep, vv,
+                               preferred_element_type=jnp.float32)
+                o = o + jnp.einsum("bgptu,bgpud->bgptd", eb, vu,
+                                   preferred_element_type=jnp.float32)
+                o = o / jnp.maximum(den, 1e-30)[..., None]
+            else:
+                s = jnp.concatenate([s_pre, s_blk], axis=-1)
+                p = jax.nn.softmax(s, axis=-1)
+                p_pre, p_blk = p[..., :S], p[..., S:]
+                o = jnp.einsum("bgpts,bgspd->bgptd", p_pre,
+                               v5.astype(jnp.float32))
+                o = o + jnp.einsum("bgptu,bgpud->bgptd", p_blk,
+                                   vu.astype(jnp.float32))
             o = o.transpose(0, 3, 1, 2, 4).reshape(B, T, nh, hd).astype(h.dtype)
         else:
             if kv_quant:

@@ -391,6 +391,7 @@ def stochastic_verify_tree(
     node_level_row: Optional[jnp.ndarray] = None,  # [N+1] parent's in-level row
     uniforms: Optional[jnp.ndarray] = None,     # [depth, C]
     rt: Optional[LanternRT] = None,
+    batch_warp: Optional[bool] = None,
 ):
     """Multi-round rejection sampling as a direct tree walk.
 
@@ -411,14 +412,18 @@ def stochastic_verify_tree(
         raise ValueError("lantern acceptance requires a nearest-latent table")
 
     D = depth + 1
-    # The walk needs the warped target distribution at each visited node —
-    # a serial chain of `depth` single-row warps (each a 32-pass top-k
-    # threshold search).  For small N*V, warping ALL node rows once up
-    # front is cheaper than the serial chain (one batched pass, rows are
-    # independent); for large V (Lumina's 65536) the batched bandwidth
-    # exceeds the chain's latency and the per-level warp wins.  Row-wise
-    # results are identical either way, so this is purely a cost choice.
-    batch_warp = N1 * V <= (1 << 20)
+    # The walk needs the warped target distribution at each visited node.
+    # batch_warp=True warps ALL node rows up front (one batched pass — the
+    # serial chain of per-visited-node warps becomes a single [N+1, V]
+    # kernel; measured 0.108 ms vs ~6 x 0.059 ms at Lumina's [39, 65536],
+    # scripts/profile_lumina_glue.py r5); False warps each visited row on
+    # demand.  Row-wise results are mathematically identical; XLA may tile
+    # the batched softmax reduction differently, so the mode is PINNABLE by
+    # the caller (SpecDecodeConfig.walk_batch_warp) rather than silently
+    # flipping with tree size — None keeps the legacy size heuristic
+    # (advisor r4 finding; tests/test_acceptance.py asserts mode agreement).
+    if batch_warp is None:
+        batch_warp = N1 * V <= (1 << 20)
     warped_all = (jax.nn.softmax(warp_logits(node_logits, warp), axis=-1)
                   if batch_warp else None)
 

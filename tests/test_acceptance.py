@@ -248,7 +248,8 @@ def test_multidraft_matches_reference(ref_ea, nearest, monkeypatch, seed, u, use
 # ---------------------------------------------------------------------------
 
 _stoch_tree = jax.jit(acc.stochastic_verify_tree,
-                      static_argnames=("depth", "warp", "lantern"))
+                      static_argnames=("depth", "warp", "lantern",
+                                       "batch_warp"))
 
 
 @pytest.mark.parametrize("seed", range(3))
@@ -382,3 +383,37 @@ def test_tree_walk_runtime_point_equals_static(nearest, u, k_eff, delta_eff):
     np.testing.assert_array_equal(np.asarray(dp), np.asarray(sp))
     np.testing.assert_allclose(np.asarray(dd), np.asarray(sd),
                                rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_tree_walk_batch_warp_mode_agreement(nearest, seed):
+    """Pinned batch_warp modes produce identical walks (advisor r4: the
+    size-heuristic mode flip must not silently shift seed-pinned streams).
+    The warp/softmax is row-wise either way; this asserts the batched
+    [N+1, V] pass and the per-visited-row chain agree bitwise on the
+    accepted path, length, and node_dist at a representative multidraft
+    geometry (active top-k warp, LANTERN on)."""
+    (spec, toks, cand, logits, level_probs, q_probs,
+     node_logits, node_q) = make_multidraft_case(11 + seed)
+    warp = LogitsWarp(temperature=1.0, top_k=50, top_p=1.0)
+    nj = jnp.asarray(nearest)
+    C = spec.children.shape[1]
+    uniforms = jnp.full((spec.max_depth, C), 0.35, jnp.float32)
+    common = dict(
+        node_q=jnp.asarray(node_q),
+        level_probs=tuple(jnp.asarray(x) for x in level_probs),
+        node_level_row=jnp.asarray(spec.inlevel_rank),
+        uniforms=uniforms,
+        nearest=nj, lantern=acc.LanternSpec(k=5, delta=5.0),
+        depth=spec.max_depth, warp=warp,
+    )
+    outs = {}
+    for mode in (True, False):
+        outs[mode] = _stoch_tree(
+            None, jnp.asarray(node_logits), jnp.asarray(toks),
+            jnp.asarray(spec.children), batch_warp=mode, **common)
+    bp, bl, bd = outs[True]
+    sp, sl, sd = outs[False]
+    assert int(bl) == int(sl)
+    np.testing.assert_array_equal(np.asarray(bp), np.asarray(sp))
+    np.testing.assert_array_equal(np.asarray(bd), np.asarray(sd))

@@ -468,3 +468,46 @@ def test_batched_stop_ids_drain(setup):
     for r in done:
         assert r.error is None
         np.testing.assert_array_equal(r.tokens, expected[r.uid])
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_open_loop_arrivals_match_saturated(setup, use_native):
+    """Requests with staggered arrival_time produce the same per-request
+    tokens as the saturated (all-at-once) run, wait for their arrival
+    (e2e_latency >= arrival gap), and survive a full batch drain between
+    arrival bursts."""
+    from lantern_tpu import native
+
+    if use_native and not native.available():
+        pytest.skip("native scheduler not built")
+    cfg, dcfg, params, dparams, ecfg, tree = setup
+    labels = [3, 8, 5]
+    expected = {
+        lab: single(cfg, dcfg, params, dparams, ecfg, tree, lab, 300 + i)
+        for i, lab in enumerate(labels)
+    }
+    eng = BatchedEngine(
+        ecfg=ecfg, cfg=cfg, dcfg=dcfg, tree=tree,
+        params=params, dparams=dparams, num_slots=2,
+    )
+    # two immediate requests, then a gap long enough that the batch drains
+    # before the third arrives (exercises the idle-until-arrival path)
+    reqs = [
+        Request(uid=labels[0], cond=jnp.asarray([labels[0]]),
+                uncond=jnp.asarray([cfg.num_classes]), seed=300),
+        Request(uid=labels[1], cond=jnp.asarray([labels[1]]),
+                uncond=jnp.asarray([cfg.num_classes]), seed=301,
+                arrival_time=0.0),
+        Request(uid=labels[2], cond=jnp.asarray([labels[2]]),
+                uncond=jnp.asarray([cfg.num_classes]), seed=302,
+                arrival_time=2.5),
+    ]
+    done = Scheduler(eng, use_native=use_native).run(reqs)
+    assert len(done) == len(labels)
+    for req in done:
+        exp_tokens, exp_steps = expected[req.uid]
+        np.testing.assert_array_equal(req.tokens, exp_tokens,
+                                      err_msg=str(req.uid))
+    late = next(r for r in done if r.uid == labels[2])
+    assert late.e2e_latency >= 0.0
+    assert late.latency <= late.e2e_latency + 1e-6
