@@ -17,6 +17,7 @@ Usage (bench/CLI wiring: scripts/optimize_bench_tree.py):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -240,3 +241,164 @@ def measure_stale_rank_probs(
             totals += np.asarray(t, np.int64)
     probs = hits / np.maximum(totals, 1)[:, None]
     return np.maximum(probs, 1.0 / max(int(totals.max()), 2))
+
+
+def measure_stale_accept_probs(
+    params: dict,
+    cfg: ModelConfig,
+    token_prompt,
+    rng: jax.Array,
+    num_tokens: int,
+    nearest: jnp.ndarray,
+    lantern,
+    max_rank: int = 10,
+    max_depth: int = 8,
+    cfg_scale: float = 3.0,
+    warp: LogitsWarp = LogitsWarp(),
+    logits_fn=None,
+    logits_mask=None,
+    kv_quant: bool = False,
+    num_rollouts: int = 1,
+    chunk: int = 32,
+) -> np.ndarray:
+    """Depth x rank probabilities that the STOCHASTIC LANTERN walk accepts
+    the rank-r child of a correct node at depth d — the acceptance rule the
+    bench lane actually runs, measured with the engine's own verifier.
+
+    ``measure_stale_rank_probs`` calibrates the greedy objective (is the
+    drafted token the argmax match?); under stochastic verification with a
+    near-exact proposal (the stale distribution) acceptance probability is
+    ~min(1, p/q) per trial — far higher than rank-match — so the greedy
+    matrix drastically under-credits every node and mis-sizes the tree
+    (r5 finding: greedy model predicts C~1.5 where the lane measures 2.59).
+
+    Per teacher position t and depth d this Monte-Carlo instrument draws the
+    stale proposals exactly as ``drafter.draft_stale`` does (warped softmax
+    of the root row under the FSM at the parent position, Gumbel top-k
+    without replacement, residual q), then runs ONE LEVEL of the real
+    ``acceptance.stochastic_verify_tree`` (star tree: root + max_rank
+    children) against the true distribution at t+d-1 — LANTERN inflation,
+    residual subtraction, trial order and all.  The returned matrix
+    ``rho[d-1, r]`` = P(the accepted child has rank r), which is exactly the
+    per-edge factor ``trees.optimize_tree``'s best-first model multiplies
+    along paths.
+
+    Feeds ``trees.optimize_tree`` (2-D form); cached by
+    scripts/select_lumina_tree.py --objective accept.
+    """
+    from ..ops import acceptance as acc
+    from ..ops.sampling import sample_without_replacement, warp_logits
+
+    rope = tfm.make_rope_tables(cfg)
+    tp = token_prompt
+    L = tp.tokens.shape[1]
+    T = num_tokens
+    K = max_rank
+
+    # star tree: slot 0 = the node whose distribution verifies, slots 1..K =
+    # the K drafted children in rank order
+    children = np.full((K + 1, K), -1, np.int32)
+    children[0] = np.arange(1, K + 1)
+
+    @jax.jit
+    def chunk_accepts(params, hid_root, hid_tgt, P, rngs, depth_d):
+        """hid_root/hid_tgt: [2, C, H] rows; P: [C] root cond positions.
+        Returns [C] accepted rank (-1 = none) for traced depth ``depth_d``
+        (one compile serves every depth)."""
+        lg_root = cfg_combine(tfm.logits_head(params, hid_root), cfg_scale)[0]
+        lg_tgt = cfg_combine(tfm.logits_head(params, hid_tgt), cfg_scale)[0]
+        lg_root = lg_root.astype(jnp.float32)
+        lg_tgt = lg_tgt.astype(jnp.float32)
+        pos = P + depth_d - 1
+        if logits_mask is not None:
+            neg = jnp.finfo(jnp.float32).min
+            lg_root = jnp.where(logits_mask, neg, lg_root)
+            lg_tgt = jnp.where(logits_mask, neg, lg_tgt)
+        if logits_fn is not None:
+            lg_root = logits_fn(lg_root, pos)
+            lg_tgt = logits_fn(lg_tgt, pos)
+
+        def one(lg_r, lg_t, r):
+            r_draw, r_walk = jax.random.split(r)
+            s = jax.nn.softmax(warp_logits(lg_r[None], warp), axis=-1)
+            idx, q = sample_without_replacement(r_draw, s, K)     # [1, K]
+            node_logits = jnp.concatenate(
+                [lg_t[None], jnp.zeros((K, lg_t.shape[0]), jnp.float32)])
+            tree_tokens = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), idx[0]])
+            node_q = jnp.concatenate([jnp.ones((1,), jnp.float32), q[0]])
+            path, alen, _ = acc.stochastic_verify_tree(
+                r_walk, node_logits, tree_tokens, jnp.asarray(children),
+                depth=1, warp=warp, nearest=nearest, lantern=lantern,
+                node_q=node_q, level_probs=(s,),
+                node_level_row=jnp.zeros((K + 1,), jnp.int32),
+                batch_warp=False,
+            )
+            return jnp.where(alen >= 1, path[1] - 1, -1)
+        return jax.vmap(one)(lg_root, lg_tgt, rngs)
+
+    seg = 512
+
+    @jax.jit
+    def seg_fwd(params, kv, toks_seg, pos_seg, valid_seg, pv):
+        block = (jnp.tril(jnp.ones((seg, seg), bool))[None]
+                 & valid_seg[:, None, :])
+        res = tfm.forward(params, cfg, tfm.token_embed(params, toks_seg), kv,
+                          pos_seg, rope, block_mask=block, prefix_valid=pv,
+                          commit=True)
+        return res.hidden, res.kv
+
+    hits = np.zeros((max_depth, max_rank), np.int64)
+    totals = np.zeros(max_depth, np.int64)
+    for i in range(num_rollouts):
+        key = jax.random.fold_in(rng, i)
+        res = ar.generate_tokens(params, cfg, tp, T, cfg_scale, warp, key,
+                                 logits_mask=logits_mask, logits_fn=logits_fn,
+                                 kv_quant=kv_quant)
+        toks = res.tokens
+        res = None
+        full = jnp.concatenate(
+            [tp.tokens, jnp.broadcast_to(toks[None], (2, T))], axis=1)
+        last_pos = tp.positions[:, -1]
+        gen_pos = last_pos[:, None] + 1 + jnp.arange(T)[None]
+        positions = jnp.concatenate([tp.positions, gen_pos], axis=1)
+        valid = jnp.concatenate([tp.valid, jnp.ones((2, T), bool)], axis=1)
+        n_full = full.shape[1]
+        pad = (-n_full) % seg
+        full_p = jnp.pad(full, ((0, 0), (0, pad)))
+        pos_p = jnp.pad(positions, ((0, 0), (0, pad)), mode="edge")
+        valid_p = jnp.pad(valid, ((0, 0), (0, pad)))
+        kv = KVCache.create(cfg, 2, max_len=n_full + pad, quantized=kv_quant)
+        pv = jnp.pad(valid_p, ((0, 0), (0, kv.max_len - valid_p.shape[1])),
+                     constant_values=True)
+        parts = []
+        for lo in range(0, n_full + pad, seg):
+            h, kv = seg_fwd(params, kv, full_p[:, lo:lo + seg],
+                            pos_p[:, lo:lo + seg], valid_p[:, lo:lo + seg],
+                            pv)
+            parts.append(h)
+        hid = jnp.concatenate(parts, axis=1)[:, :n_full]
+        kv = None
+        cond_pos = positions[0]
+        mc_key = jax.random.fold_in(key, 999)
+        for d in range(1, max_depth + 1):
+            # valid roots: target row t + d - 1 must exist
+            Td = T - (d - 1)
+            if Td <= 0:
+                break
+            for lo in range(0, Td, chunk):
+                hi = min(lo + chunk, Td)
+                root_rows = jnp.arange(L - 1 + lo, L - 1 + hi)
+                tgt_rows = root_rows + (d - 1)
+                rngs = jax.vmap(jax.random.fold_in, (None, 0))(
+                    jax.random.fold_in(mc_key, d),
+                    jnp.arange(lo, hi, dtype=jnp.uint32))
+                ranks = np.asarray(chunk_accepts(
+                    params, hid[:, root_rows], hid[:, tgt_rows],
+                    cond_pos[root_rows], rngs,
+                    jnp.asarray(d, jnp.int32)))
+                for r in range(max_rank):
+                    hits[d - 1, r] += int((ranks == r).sum())
+                totals[d - 1] += ranks.shape[0]
+    probs = hits / np.maximum(totals, 1)[:, None]
+    return np.maximum(probs, 1e-4)

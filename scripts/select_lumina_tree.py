@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--calibrate", action="store_true",
                     help="measure depth-dependent (stale) rank probs at this "
                     "geometry and add optimize_tree candidates at --budgets")
+    ap.add_argument("--objective", default="accept",
+                    choices=["accept", "greedy"],
+                    help="calibration objective: 'accept' = per-(depth,rank) "
+                    "STOCHASTIC-walk acceptance probs under the bench's "
+                    "LANTERN point (the rule the lane runs; "
+                    "calibrate.measure_stale_accept_probs); 'greedy' = the "
+                    "r4 rank-match matrix (argmax objective)")
     ap.add_argument("--budgets", default="16:10,32:10,63:8",
                     help="nodes:max_depth list for calibrated candidates")
     ap.add_argument("--probe-tokens", type=int, default=0,
@@ -141,12 +148,29 @@ def main():
     fsm = cham.LuminaGridFSM(w=GRID, h=GRID, image_start_idx=len(TEXT),
                              vocab_size=cfg.vocab_size)
 
-    candidates = {name: name for name in args.trees.split(",") if name}
+    candidates = {}
+    for name in args.trees.split(","):
+        if not name:
+            continue
+        if name.startswith("ne:"):
+            # level-major prefix of naive_extend_57: the r4 ne35/ne39/ne43
+            # family, now first-class (sorted by depth, a prefix of every
+            # path precedes it, so any cut is prefix-closed)
+            n = int(name.split(":")[1])
+            base = trees.get_tree("naive_extend_57")
+            ordered = sorted([list(p) for p in base.paths],
+                             key=lambda p: (len(p), p))
+            candidates[f"ne{n + 1}"] = ordered[:n]
+        else:
+            candidates[name] = name
     if args.calibrate:
-        from lantern_tpu.engine.calibrate import measure_stale_rank_probs
+        from lantern_tpu.engine import calibrate as calib
 
+        accept_obj = args.objective == "accept"
         max_depth = max(int(b.split(":")[1]) for b in args.budgets.split(","))
         cache = args.probs_cache
+        if accept_obj and cache:
+            cache = cache.replace("stale_probs", "accept_probs")
         if cache and os.path.exists(cache):
             with np.load(cache) as z:
                 probs = z["probs"]
@@ -155,9 +179,20 @@ def main():
                     [probs, np.broadcast_to(
                         probs[-1:], (max_depth - probs.shape[0],
                                      probs.shape[1]))])
-            note(f"stale rank probs loaded from {cache}")
+            note(f"calibration probs loaded from {cache}")
+        elif accept_obj:
+            probs = calib.measure_stale_accept_probs(
+                params, cfg, tp, jax.random.key(77),
+                num_tokens=args.probe_tokens or MAX_NEW,
+                nearest=params["nearest_latents"],
+                lantern=LanternSpec(k=10, delta=5.0),
+                max_rank=10, max_depth=max_depth, cfg_scale=3.0, warp=warp,
+                logits_fn=fsm, kv_quant=True)
+            if cache:
+                np.savez(cache, probs=probs, grid=GRID)
+                note(f"stale ACCEPT probs cached to {cache}")
         else:
-            probs = measure_stale_rank_probs(
+            probs = calib.measure_stale_rank_probs(
                 params, cfg, tp, jax.random.key(77),
                 num_tokens=args.probe_tokens or MAX_NEW,
                 max_rank=10, max_depth=max_depth, cfg_scale=3.0, warp=warp,
@@ -165,14 +200,27 @@ def main():
             if cache:
                 np.savez(cache, probs=probs, grid=GRID)
                 note(f"stale rank probs cached to {cache}")
-        note("stale rank probs (rows=depth):")
+        note(f"calibration probs ({args.objective} objective, rows=depth):")
         for d, row in enumerate(probs):
             note(f"  d={d + 1}: {np.round(row, 3).tolist()}")
+
+        def model_c(paths):
+            """best-first model's E[compression] = 1 + sum of path probs."""
+            tot = 0.0
+            for q in paths:
+                x = 1.0
+                for dd, r in enumerate(q):
+                    x *= probs[min(dd, probs.shape[0] - 1)][r]
+                tot += x
+            return 1.0 + tot
         for b in args.budgets.split(","):
             nodes, depth = (int(x) for x in b.split(":"))
             paths = trees.optimize_tree(probs, num_nodes=nodes,
                                         max_depth=depth)
-            candidates[f"calib_{nodes}n_d{depth}"] = [list(p) for p in paths]
+            name = f"calib_{nodes}n_d{depth}"
+            candidates[name] = [list(p) for p in paths]
+            note(f"{name}: model E[C] = {model_c(paths):.3f}, "
+                 f"max_len {max(len(p) for p in paths)}")
 
     results = {}
     paths_by_name = {}
@@ -184,9 +232,10 @@ def main():
             max_new=MAX_NEW, mode="static", kv_quant=True,
             # measure the bench's production config: drafter-free stale
             # drafting when no trained drafter exists + deferred KV commit
-            # on the dense path (bench.py lumina lane)
+            # on the dense path + pinned batched walk warp (bench.py lane)
             stale_draft=not os.path.exists(ck),
             deferred_commit=not cfg.use_flash_attention,
+            walk_batch_warp=True,
         )
 
         def run(seed):

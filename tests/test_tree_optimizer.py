@@ -130,3 +130,50 @@ def test_measure_stale_rank_probs_tiny():
     paths = trees.optimize_tree(probs, num_nodes=12, max_depth=4)
     t = trees.get_tree(paths)
     assert t.num_nodes == 13
+
+
+def test_measure_stale_accept_probs_tiny():
+    """The stochastic-walk acceptance calibration (the objective the bench
+    lane optimizes trees for) runs end-to-end on a tiny FSM model, yields a
+    well-formed [depth, rank] matrix, and — because stochastic acceptance
+    of a near-exact stale proposal is ~min(1, p/q) per trial, not argmax
+    match — credits level-1 far above the greedy rank-match instrument."""
+    from lantern_tpu.engine.calibrate import (measure_stale_accept_probs,
+                                              measure_stale_rank_probs)
+    from lantern_tpu.models import chameleon as cham
+    from lantern_tpu.ops.acceptance import LanternSpec
+    from lantern_tpu.ops.sampling import LogitsWarp
+    from lantern_tpu.ops.vq_distance import nearest_latents
+
+    GRID = 5
+    MAX_NEW = GRID * (GRID + 1) + 1
+    TEXT = list(range(60000, 60006))
+    cfg = configs.tiny_config(cond_kind="none", rope_kind="1d", qk_norm=True,
+                              swin_norm=True, vocab_size=65536,
+                              max_seq_len=len(TEXT) + 3 + MAX_NEW + 16)
+    params = tfm.init_params(jax.random.key(0), cfg)
+    cb = jax.random.normal(jax.random.key(3), (8192, 8))
+    near = np.asarray(nearest_latents(cb, k=11))
+    params["nearest_latents"] = jnp.asarray(
+        cham.shift_nearest_table(near, cfg.vocab_size))
+    tp = cham.lumina_token_prompt(TEXT, grid=(GRID, GRID))
+    fsm = cham.LuminaGridFSM(w=GRID, h=GRID, image_start_idx=len(TEXT),
+                             vocab_size=cfg.vocab_size)
+    warp = LogitsWarp(temperature=1.0, top_k=2000)
+    common = dict(cfg_scale=3.0, warp=warp, logits_fn=fsm, chunk=16)
+    rho = measure_stale_accept_probs(
+        params, cfg, tp, jax.random.key(7), MAX_NEW,
+        nearest=params["nearest_latents"], lantern=LanternSpec(k=10, delta=5.0),
+        max_rank=3, max_depth=3, **common)
+    assert rho.shape == (3, 3)
+    assert (rho >= 0).all() and (rho <= 1).all()
+    # per-level total acceptance cannot exceed 1 (at most one child is
+    # accepted); allow the instrument's 1e-4 probability floor per rank
+    assert (rho.sum(axis=1) <= 1.0 + 3e-4 * rho.shape[1]).all()
+    greedy = measure_stale_rank_probs(
+        params, cfg, tp, jax.random.key(7), MAX_NEW, max_rank=3, max_depth=3,
+        **common)
+    # the walk objective credits depth-1 acceptance far above argmax match
+    assert rho[0].sum() > greedy[0].sum()
+    paths = trees.optimize_tree(rho, num_nodes=12, max_depth=3)
+    assert trees.get_tree(paths).num_nodes == 13
