@@ -144,10 +144,13 @@ def measure_stale_rank_probs(
     stale relative to the verifier's ``p_{i+d-1}``.  That staleness decay is
     exactly measurable teacher-forced: roll out the base AR stream (with the
     grid FSM), re-run one full forward for all-position CFG-combined logits,
-    and for each depth d histogram the rank of the actual token ``d`` steps
-    ahead within the row's FSM-masked logits (FSM evaluated at the parent
-    position ``P+d-1``, the engine's convention — models/drafter.py
-    draft_static).  Feeds ``trees.optimize_tree``'s 2-D form.
+    and for each depth d histogram the rank of the actual token at row+d
+    within the row's FSM-masked logits (FSM evaluated at the parent
+    position ``P+d``, the engine's convention — models/drafter.py
+    draft_static; the r5 depth-alignment fix applies here too: the engine's
+    level-1 proposal is one position stale, so depth-d targets sit d rows
+    past the proposal row, not d-1).  Feeds ``trees.optimize_tree``'s 2-D
+    form.
     """
     from ..ops.sampling import cfg_combine as _cfg_combine
 
@@ -169,14 +172,14 @@ def measure_stale_rank_probs(
         hits = jnp.zeros((max_depth, max_rank), jnp.int32)
         tot = jnp.zeros((max_depth,), jnp.int32)
         for d in range(1, max_depth + 1):
-            tpos = t_idx + d - 1
+            tpos = t_idx + d
             ok = tpos < toks_dev.shape[0]
             tgt = toks_dev[jnp.clip(tpos, 0, toks_dev.shape[0] - 1)]
             ml = lg
             if logits_mask is not None:
                 ml = jnp.where(logits_mask, jnp.finfo(jnp.float32).min, ml)
             if logits_fn is not None:
-                ml = logits_fn(ml, P + d - 1)
+                ml = logits_fn(ml, P + d)
             tv = jnp.take_along_axis(ml, tgt[:, None], axis=1)
             ranks = jnp.sum(ml > tv, axis=1)
             oh = (ranks[:, None] == jnp.arange(max_rank)[None]) & ok[:, None]
@@ -277,8 +280,18 @@ def measure_stale_accept_probs(
     of the root row under the FSM at the parent position, Gumbel top-k
     without replacement, residual q), then runs ONE LEVEL of the real
     ``acceptance.stochastic_verify_tree`` (star tree: root + max_rank
-    children) against the true distribution at t+d-1 — LANTERN inflation,
-    residual subtraction, trial order and all.  The returned matrix
+    children) against the true distribution at t+d — LANTERN inflation,
+    residual subtraction, trial order and all.
+
+    Depth alignment (r5 fix): the engine's next-step root token is the
+    bonus, sampled from the SAME distribution that then serves as the stale
+    proposal — so level-1 children verify against the distribution one
+    position PAST the proposal's (the bonus token's own row), level-d
+    children d positions past.  The instrument's depth-d target row is
+    therefore root+d, NOT root+d-1 (which had compared the proposal with
+    itself at d=1, reporting a trivial 1.0 and crediting every deeper level
+    one step too generously — the calibrated shapes it produced measured
+    C~2.1 against the model's 3.4).  The returned matrix
     ``rho[d-1, r]`` = P(the accepted child has rank r), which is exactly the
     per-edge factor ``trees.optimize_tree``'s best-first model multiplies
     along paths.
@@ -309,7 +322,7 @@ def measure_stale_accept_probs(
         lg_tgt = cfg_combine(tfm.logits_head(params, hid_tgt), cfg_scale)[0]
         lg_root = lg_root.astype(jnp.float32)
         lg_tgt = lg_tgt.astype(jnp.float32)
-        pos = P + depth_d - 1
+        pos = P + depth_d
         if logits_mask is not None:
             neg = jnp.finfo(jnp.float32).min
             lg_root = jnp.where(logits_mask, neg, lg_root)
@@ -382,14 +395,14 @@ def measure_stale_accept_probs(
         cond_pos = positions[0]
         mc_key = jax.random.fold_in(key, 999)
         for d in range(1, max_depth + 1):
-            # valid roots: target row t + d - 1 must exist
-            Td = T - (d - 1)
+            # valid roots: target row t + d must exist
+            Td = T - d
             if Td <= 0:
                 break
             for lo in range(0, Td, chunk):
                 hi = min(lo + chunk, Td)
                 root_rows = jnp.arange(L - 1 + lo, L - 1 + hi)
-                tgt_rows = root_rows + (d - 1)
+                tgt_rows = root_rows + d
                 rngs = jax.vmap(jax.random.fold_in, (None, 0))(
                     jax.random.fold_in(mc_key, d),
                     jnp.arange(lo, hi, dtype=jnp.uint32))

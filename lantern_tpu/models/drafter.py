@@ -233,22 +233,46 @@ def draft_stale(
     if warp.active and pin is None:
         dists = jax.nn.softmax(warp_logits(lgs, warp), axis=-1)
 
+    level_rows = [1] + [len(l.child_flat_idx) for l in spec.levels]
     ss_token, ss_prob, level_probs = [], [], []
-    for i in range(n_levels):
-        rng, r = jax.random.split(rng)
-        rows = 1 if i == 0 else len(spec.levels[i - 1].child_flat_idx)
-        if warp.active and pin is None:
-            probs = jnp.broadcast_to(dists[i: i + 1], (rows, V))
-            idx, q = sample_without_replacement(r, probs, K)
-            dist = probs
-        else:
+    if warp.active and pin is None:
+        # one batched Gumbel top-k serves every level's sampling: the
+        # per-level perturbed scores stack into [sum(rows), V] and a single
+        # lax.top_k replaces the serial per-level chain.  The Gumbel noise
+        # still draws from the SAME per-level rng keys in the same order,
+        # and top-k/q math is row-wise, so the result is bit-identical to
+        # the per-level sample_without_replacement calls
+        # (tests/test_stale_draft.py).
+        zs, keep_dists = [], []
+        for i, rows in enumerate(level_rows):
+            rng, r = jax.random.split(rng)
+            logp = jnp.log(jnp.maximum(dists[i], 1e-30))
+            u = jax.random.uniform(r, (rows, V), minval=1e-20, maxval=1.0)
+            zs.append(logp[None] + (-jnp.log(-jnp.log(u))))
+            keep_dists.append(jnp.broadcast_to(dists[i: i + 1], (rows, V)))
+        _, idx_all = jax.lax.top_k(jnp.concatenate(zs, axis=0), K)
+        off = 0
+        for i, rows in enumerate(level_rows):
+            idx = idx_all[off: off + rows].astype(jnp.int32)
+            off += rows
+            p_sel = jnp.take_along_axis(
+                jnp.broadcast_to(dists[i: i + 1], (rows, V)), idx, axis=-1)
+            prev_cum = jnp.cumsum(p_sel, axis=-1) - p_sel
+            q = p_sel / (1.0 - prev_cum)
+            q = jnp.where(jnp.isfinite(q), jnp.clip(q, 0.0, 1.0), 0.0)
+            ss_token.append(idx)
+            ss_prob.append(q)
+            level_probs.append(keep_dists[i])
+    else:
+        for i, rows in enumerate(level_rows):
+            rng, r = jax.random.split(rng)
             idx1, q1, dist1 = _sample_rows(lgs[i: i + 1], r, K, warp, pin)
             idx = jnp.broadcast_to(idx1, (rows, K))
             q = jnp.broadcast_to(q1, (rows, K))
             dist = jnp.broadcast_to(dist1, (rows, dist1.shape[-1]))
-        ss_token.append(idx)
-        ss_prob.append(q)
-        level_probs.append(dist)
+            ss_token.append(idx)
+            ss_prob.append(q)
+            level_probs.append(dist)
 
     return StaticDraft(
         ss_token=jnp.concatenate(ss_token, axis=0),

@@ -81,6 +81,50 @@ def run_kernel_selftest(verbose: bool = False) -> dict:
     errs["kv_rollback"] = err
     assert err == 0.0, f"kv rollback kernel diverged: {err}"
 
+    # --- 2b. deferred commit under the FLASH kernel: token-exact streams --
+    # (advisor r4 #1: tests/test_deferred_commit.py covers the dense path on
+    # CPU; the flash + extra_kv pre-commit interaction — kernel masking of
+    # garbage rows above the frontier — only exercises where Mosaic compiles.
+    # Geometry chosen flash-eligible: nh==nkv, head_dim 64 -> group 128,
+    # S=1024 >= flash_min_seq.)
+    if on_tpu:
+        import jax.numpy as _jnp
+
+        from ... import configs as _configs
+        from ... import trees as _trees
+        from ...engine import spec as _spec
+        from ...models import drafter as _drf
+        from ...models import transformer as _tfm
+        from ...ops.acceptance import LanternSpec as _LS
+        from ...ops.sampling import LogitsWarp as _LW
+
+        cfg = _configs.tiny_config(vocab_size=512, hidden_size=256,
+                                   num_layers=2, num_heads=4,
+                                   cond_kind="label", block_size=64,
+                                   max_seq_len=1024)
+        cfg = cfg.replace(use_flash_attention=True, flash_min_seq=512)
+        dcfg = _configs.drafter_config(cfg, total_tokens=10, depth=2,
+                                       top_k=4)
+        params = _tfm.init_params(jax.random.key(0), cfg)
+        dparams = _drf.init_drafter_params(jax.random.key(1), dcfg,
+                                           params["embed"])
+        tree = _trees.get_tree("chain_bush_8")
+        toks = {}
+        for defer in (False, True):
+            ecfg = _spec.SpecDecodeConfig(
+                warp=_LW(temperature=1.0, top_k=50), cfg_scale=2.0,
+                lantern=_LS(), max_new=48, mode="static",
+                deferred_commit=defer)
+            res = _spec.generate(params, dparams, ecfg, cfg, dcfg, tree,
+                                 _jnp.asarray([3]),
+                                 _jnp.asarray([cfg.num_classes]),
+                                 jax.random.key(5))
+            toks[defer] = np.asarray(res.tokens)
+        err = int((toks[True] != toks[False]).sum())
+        errs["deferred_flash_tokens"] = err
+        assert err == 0, (
+            f"deferred-commit + flash diverged from rollback: {err} tokens")
+
     # --- 3. pallas dequant-matmul vs the XLA fused form -------------------
     K, N = 256, 512
     x = jnp.asarray(rng.normal(size=(8, K)), jnp.bfloat16)

@@ -46,6 +46,11 @@ def main():
                     "r4 rank-match matrix (argmax objective)")
     ap.add_argument("--budgets", default="16:10,32:10,63:8",
                     help="nodes:max_depth list for calibrated candidates")
+    ap.add_argument("--max-rank", type=int, default=10,
+                    help="calibration rank width; stale (drafter-free) "
+                    "drafting can propose arbitrarily wide levels at zero "
+                    "drafter cost, so ranks past the reference's top_k=10 "
+                    "are worth measuring")
     ap.add_argument("--probe-tokens", type=int, default=0,
                     help="tokens for the calibration rollout (0 = full image)")
     ap.add_argument("--probs-cache", default="ckpts/lumina_stale_probs.npz",
@@ -186,8 +191,8 @@ def main():
                 num_tokens=args.probe_tokens or MAX_NEW,
                 nearest=params["nearest_latents"],
                 lantern=LanternSpec(k=10, delta=5.0),
-                max_rank=10, max_depth=max_depth, cfg_scale=3.0, warp=warp,
-                logits_fn=fsm, kv_quant=True)
+                max_rank=args.max_rank, max_depth=max_depth, cfg_scale=3.0,
+                warp=warp, logits_fn=fsm, kv_quant=True)
             if cache:
                 np.savez(cache, probs=probs, grid=GRID)
                 note(f"stale ACCEPT probs cached to {cache}")
@@ -195,8 +200,8 @@ def main():
             probs = calib.measure_stale_rank_probs(
                 params, cfg, tp, jax.random.key(77),
                 num_tokens=args.probe_tokens or MAX_NEW,
-                max_rank=10, max_depth=max_depth, cfg_scale=3.0, warp=warp,
-                logits_fn=fsm, kv_quant=True)
+                max_rank=args.max_rank, max_depth=max_depth, cfg_scale=3.0,
+                warp=warp, logits_fn=fsm, kv_quant=True)
             if cache:
                 np.savez(cache, probs=probs, grid=GRID)
                 note(f"stale rank probs cached to {cache}")
