@@ -645,11 +645,15 @@ def lumina_main():
         np.asarray(res.tokens)
         return res
 
+    # compile BOTH loops first, then take the timed runs back-to-back:
+    # vs_baseline is a within-run ratio, and the ~5% chip-speed drift
+    # observed across minutes (PERF.md r5 ops note) should hit both sides
+    # equally, not straddle a compile gap
     t0 = time.perf_counter(); run_ar(7)
     note(f"AR compiled+run ({time.perf_counter() - t0:.1f}s)")
-    t0 = time.perf_counter(); run_ar(8); t_ar = time.perf_counter() - t0
     t0 = time.perf_counter(); run_spec(7)
     note(f"spec compiled+run ({time.perf_counter() - t0:.1f}s)")
+    t0 = time.perf_counter(); run_ar(8); t_ar = time.perf_counter() - t0
     t0 = time.perf_counter(); sres = run_spec(8); t_spec = time.perf_counter() - t0
     note(f"timed: ar={t_ar:.2f}s spec={t_spec:.2f}s")
 

@@ -78,6 +78,16 @@ class ModelConfig:
     # scores against a dequantized cache) — kept for A/B and bit-exact
     # comparison against old goldens.
     dense_softmax: str = "fused"
+    # Decode-block attention contraction strategy on the fused dense path.
+    # For T <= this bound the QK/AV contractions are written as
+    # elementwise-multiply + sum in the CACHE's [B,G,S,pk,hd] layout instead
+    # of einsum: XLA lowers the T~1 "dots" to f32 kLoop multiply-reduce
+    # fusions whose operands it materializes — a layout copy + f32 convert
+    # of the ENTIRE per-layer KV plane (~26 MB/layer at XL, the dominant AR
+    # forward overhead; r5 HLO census, scripts/count_hlo_ops.py).  The
+    # mul-sum form keeps the cache read in storage dtype with the convert
+    # fused into the reduce.  0 disables (always einsum).
+    dense_qk_mulsum_max_t: int = 0
     # lax.scan unroll over the layer stack.  Measured DEAD END on v5e
     # (scripts/probe_unroll.py, PERF.md r4 table): unroll 2/4/6 all SLOW the
     # XL decode forwards 20-45% vs unroll=1 — XLA already pipelines the scan
@@ -168,6 +178,10 @@ def llamagen_config(
         rope_pairing="interleaved",
         block_size=image_tokens,
         max_seq_len=cond["cls_token_num"] + image_tokens + max_extra,
+        # measured r5 (scripts/probe_xl_fwd.py): mul-sum decode attention
+        # cuts the XL AR forward 2.476 -> 2.114 ms within-run (-15%) by
+        # keeping the per-layer KV plane reads in storage dtype
+        dense_qk_mulsum_max_t=4,
         **cond,
     )
 

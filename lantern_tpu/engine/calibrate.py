@@ -415,3 +415,126 @@ def measure_stale_accept_probs(
                 totals[d - 1] += ranks.shape[0]
     probs = hits / np.maximum(totals, 1)[:, None]
     return np.maximum(probs, 1e-4)
+
+
+def measure_drafter_accept_probs(
+    params: dict,
+    dparams: dict,
+    cfg: ModelConfig,
+    dcfg: DrafterConfig,
+    cond,
+    uncond,
+    rng: jax.Array,
+    nearest: jnp.ndarray,
+    lantern,
+    num_tokens: Optional[int] = None,
+    max_rank: int = 10,
+    max_depth: int = 6,
+    cfg_scale: float = 3.0,
+    warp: LogitsWarp = LogitsWarp(),
+    num_rollouts: int = 1,
+    chunk: int = 64,
+) -> np.ndarray:
+    """Depth x rank STOCHASTIC-walk acceptance probabilities for a trained
+    EAGLE drafter on a caption/label-cond (LlamaGen) model — the drafter
+    counterpart of ``measure_stale_accept_probs`` (same star-tree Monte
+    Carlo through the real ``stochastic_verify_tree``; same rationale: the
+    greedy rank-match matrix mis-sizes trees for the sampling lane).
+
+    Teacher-forced along a base rollout (the standard EAGLE independence
+    approximation): the depth-d proposal distribution is the drafter's
+    CFG-combined head distribution at the row scoring toks[t+d] with the
+    TRUE path's (token, base-hidden) inputs; the target is the base model's
+    distribution at the same position.  Alignment note: unlike the
+    stale/passthrough case there is no extra staleness offset — the drafter
+    genuinely conditions on position t+d-1's token and hidden.
+    """
+    from ..ops import acceptance as acc
+    from ..ops.sampling import sample_without_replacement, warp_logits
+
+    num_tokens = num_tokens or cfg.block_size
+    rope = tfm.make_rope_tables(cfg)
+    drope = tfm.make_rope_tables(dcfg.model)
+    Tc = cfg.cls_token_num
+    head = tfm.logits_head
+    K = max_rank
+    children = np.full((K + 1, K), -1, np.int32)
+    children[0] = np.arange(1, K + 1)
+
+    @jax.jit
+    def all_logits(params, dparams, toks):
+        """-> (base logits [T?, V] row t scores toks[t+1] ... , drafter
+        logits aligned the same way), f32, CFG-combined."""
+        cond_pair = (
+            jnp.concatenate([cond, uncond], axis=0)
+            if cfg.cond_kind == "caption"
+            else jnp.concatenate([jnp.atleast_1d(cond), jnp.atleast_1d(uncond)])
+        )
+        hid = _teacher_hidden(params, cfg, cond_pair, toks, rope)
+        T = toks.shape[0]
+        Dp = Tc - 1 + T
+        dr_tokens = jnp.broadcast_to(
+            jnp.concatenate([jnp.zeros((Tc - 1,), toks.dtype), toks])[None],
+            (2, Dp))
+        mcfg = dcfg.model.replace(use_flash_attention=False)
+        kv = KVCache.create(mcfg, 2, max_len=Dp)
+        x = drf.fuse_inputs(dparams, dr_tokens, hid[:, :Dp])
+        out = tfm.forward(dparams, mcfg, x, kv, jnp.arange(Dp), drope,
+                          commit=False).hidden
+        # base row Tc-1+u scores toks[u]; drafter row Tc-1+u scores toks[u+1]
+        base_lg = cfg_combine(head(params, hid[:, Tc - 1: Tc - 1 + T]),
+                              cfg_scale)[0].astype(jnp.float32)   # [T, V]
+        dr_lg = cfg_combine(head(params, out[:, Tc - 1: Tc - 1 + T]),
+                            cfg_scale)[0].astype(jnp.float32)     # [T, V]
+        return base_lg, dr_lg
+
+    @jax.jit
+    def chunk_accepts(prop_rows, tgt_rows, rngs):
+        def one(lg_p, lg_t, r):
+            r_draw, r_walk = jax.random.split(r)
+            s = jax.nn.softmax(warp_logits(lg_p[None], warp), axis=-1)
+            idx, q = sample_without_replacement(r_draw, s, K)
+            node_logits = jnp.concatenate(
+                [lg_t[None], jnp.zeros((K, lg_t.shape[0]), jnp.float32)])
+            tree_tokens = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), idx[0]])
+            node_q = jnp.concatenate([jnp.ones((1,), jnp.float32), q[0]])
+            path, alen, _ = acc.stochastic_verify_tree(
+                r_walk, node_logits, tree_tokens, jnp.asarray(children),
+                depth=1, warp=warp, nearest=nearest, lantern=lantern,
+                node_q=node_q, level_probs=(s,),
+                node_level_row=jnp.zeros((K + 1,), jnp.int32),
+                batch_warp=False,
+            )
+            return jnp.where(alen >= 1, path[1] - 1, -1)
+        return jax.vmap(one)(prop_rows, tgt_rows, rngs)
+
+    hits = np.zeros((max_depth, max_rank), np.int64)
+    totals = np.zeros(max_depth, np.int64)
+    for i in range(num_rollouts):
+        key = jax.random.fold_in(rng, i)
+        res = ar.generate(params, cfg, cond, uncond, num_tokens, cfg_scale,
+                          warp, key)
+        toks = res.tokens
+        base_lg, dr_lg = all_logits(params, dparams, toks)
+        T = int(toks.shape[0])
+        mc_key = jax.random.fold_in(key, 999)
+        for d in range(1, max_depth + 1):
+            # root committed toks[t]; level-d children score toks[t+d]:
+            # proposal = drafter row t+d-1, target = base row t+d
+            Td = T - d
+            if Td <= 0:
+                break
+            for lo in range(0, Td, chunk):
+                hi = min(lo + chunk, Td)
+                rows = jnp.arange(lo, hi)
+                rngs = jax.vmap(jax.random.fold_in, (None, 0))(
+                    jax.random.fold_in(mc_key, d),
+                    jnp.arange(lo, hi, dtype=jnp.uint32))
+                ranks = np.asarray(chunk_accepts(
+                    dr_lg[rows + d - 1], base_lg[rows + d], rngs))
+                for r in range(max_rank):
+                    hits[d - 1, r] += int((ranks == r).sum())
+                totals[d - 1] += ranks.shape[0]
+    probs = hits / np.maximum(totals, 1)[:, None]
+    return np.maximum(probs, 1e-4)

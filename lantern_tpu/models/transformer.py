@@ -445,64 +445,117 @@ def forward(
 
                 kq_blk, ks_blk = _qrows(group_blocks(k))       # [B,G,T,W]
                 vq_blk, vs_blk = _qrows(group_blocks(v))
-                ku = kq_blk.astype(h.dtype).reshape(
-                    B, Gd, T, pk, hd).transpose(0, 1, 3, 2, 4)
-                vu = vq_blk.astype(h.dtype).reshape(
-                    B, Gd, T, pk, hd).transpose(0, 1, 3, 2, 4)
             else:
-                ks_blk = vs_blk = None
-                ku = k_use.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
-                vu = v_use.reshape(B, T, Gd, pk, hd).transpose(0, 2, 3, 1, 4)
-            s_pre = jnp.einsum(
-                "bgptd,bgspd->bgpts",
-                qg, (k5.astype(h.dtype) if fused and kv_quant else k5),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            if fused and kv_quant:
-                # per-(G,S)-row int8 scale factors OUT of the head_dim
-                # contraction: scores scale along the key axis, so the
-                # dequantized cache never hits HBM
-                s_pre = s_pre * k_sc[:, :, None, None, :]
-            s_pre = s_pre + mask_prefix[:, None]
-            s_blk = jnp.einsum(
-                "bgptd,bgpud->bgptu", qg, ku,
-                preferred_element_type=jnp.float32,
-            ) * scale
-            if fused and kv_quant:
-                s_blk = s_blk * ks_blk[:, :, None, None, :]
-            s_blk = s_blk + mask_block[:, None]
-            if fused:
-                # two-part streaming softmax: no [.., S+T] concat copy; the
-                # unnormalized exp() weights go into the AV matmuls in the
-                # model dtype (they are <= 1 by the max-shift) and the
-                # normalizing divide happens ONCE on the [.., T, hd] output
-                m = jnp.maximum(s_pre.max(-1), s_blk.max(-1))[..., None]
-                e_pre = jnp.exp(s_pre - m)
-                e_blk = jnp.exp(s_blk - m)
-                den = e_pre.sum(-1) + e_blk.sum(-1)          # [B,G,pk,T]
+                kq_blk = vq_blk = ks_blk = vs_blk = None
+            if fused and T <= cfg.dense_qk_mulsum_max_t:
+                # mul-sum decode attention in the CACHE layout [B,G,S,pk,*]:
+                # T~1 einsum "dots" lower to f32 kLoop multiply-reduce
+                # fusions whose operands XLA materializes — a layout copy +
+                # f32 convert of the whole per-layer KV plane (r5 HLO
+                # census).  Written as elementwise-multiply + sum, the
+                # storage-dtype cache read and its convert fuse into the
+                # reduction; nothing cache-sized is ever rewritten.
+                qf = qg.astype(jnp.float32)           # [B,G,pk,T,hd] (tiny)
+                s2 = jnp.sum(
+                    k5.astype(jnp.float32)[:, :, :, :, None, :]
+                    * qf[:, :, None, :, :, :], axis=-1) * scale
+                if kv_quant:                           # [B,G,S,pk,T]
+                    s2 = s2 * k_sc[:, :, :, None, None]
+                s2 = s2 + mask_prefix[:, 0].transpose(0, 2, 1)[:, None, :,
+                                                               None, :]
                 if kv_quant:
-                    # v_scale rides the contracted key axis: fold it into the
-                    # exp weights instead of dequantizing the V cache
-                    ep = (e_pre * v_sc[:, :, None, None, :]).astype(h.dtype)
-                    eb = (e_blk * vs_blk[:, :, None, None, :]).astype(h.dtype)
-                    vv = v5.astype(h.dtype)
+                    ku_s = kq_blk.reshape(B, Gd, T, pk, hd)
+                    vu_s = vq_blk.reshape(B, Gd, T, pk, hd)
                 else:
-                    ep = e_pre.astype(h.dtype)
-                    eb = e_blk.astype(h.dtype)
-                    vv = v5
-                o = jnp.einsum("bgpts,bgspd->bgptd", ep, vv,
-                               preferred_element_type=jnp.float32)
-                o = o + jnp.einsum("bgptu,bgpud->bgptd", eb, vu,
-                                   preferred_element_type=jnp.float32)
+                    ku_s = k_use.reshape(B, T, Gd, pk, hd).transpose(
+                        0, 2, 1, 3, 4)
+                    vu_s = v_use.reshape(B, T, Gd, pk, hd).transpose(
+                        0, 2, 1, 3, 4)
+                sb = jnp.sum(
+                    ku_s.astype(jnp.float32)[:, :, :, :, None, :]
+                    * qf[:, :, None, :, :, :], axis=-1) * scale
+                if kv_quant:                           # [B,G,U,pk,T]
+                    sb = sb * ks_blk[:, :, :, None, None]
+                mb = jnp.broadcast_to(mask_block, (B, 1, T, T))
+                sb = sb + mb[:, 0].transpose(0, 2, 1)[:, None, :, None, :]
+                m = jnp.maximum(s2.max(axis=2), sb.max(axis=2))  # [B,G,pk,T]
+                e2 = jnp.exp(s2 - m[:, :, None])
+                eb = jnp.exp(sb - m[:, :, None])
+                den = e2.sum(axis=2) + eb.sum(axis=2)
+                if kv_quant:
+                    e2 = e2 * v_sc[:, :, :, None, None]
+                    eb = eb * vs_blk[:, :, :, None, None]
+                o = jnp.sum(e2[..., None]
+                            * v5.astype(jnp.float32)[:, :, :, :, None, :],
+                            axis=2)
+                o = o + jnp.sum(eb[..., None]
+                                * vu_s.astype(jnp.float32)[:, :, :, :,
+                                                           None, :],
+                                axis=2)                # [B,G,pk,T,hd]
                 o = o / jnp.maximum(den, 1e-30)[..., None]
             else:
-                s = jnp.concatenate([s_pre, s_blk], axis=-1)
-                p = jax.nn.softmax(s, axis=-1)
-                p_pre, p_blk = p[..., :S], p[..., S:]
-                o = jnp.einsum("bgpts,bgspd->bgptd", p_pre,
-                               v5.astype(jnp.float32))
-                o = o + jnp.einsum("bgptu,bgpud->bgptd", p_blk,
-                                   vu.astype(jnp.float32))
+                if fused and kv_quant:
+                    ku = kq_blk.astype(h.dtype).reshape(
+                        B, Gd, T, pk, hd).transpose(0, 1, 3, 2, 4)
+                    vu = vq_blk.astype(h.dtype).reshape(
+                        B, Gd, T, pk, hd).transpose(0, 1, 3, 2, 4)
+                else:
+                    ku = k_use.reshape(B, T, Gd, pk, hd).transpose(
+                        0, 2, 3, 1, 4)
+                    vu = v_use.reshape(B, T, Gd, pk, hd).transpose(
+                        0, 2, 3, 1, 4)
+                s_pre = jnp.einsum(
+                    "bgptd,bgspd->bgpts",
+                    qg, (k5.astype(h.dtype) if fused and kv_quant else k5),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                if fused and kv_quant:
+                    # per-(G,S)-row int8 scale factors OUT of the head_dim
+                    # contraction: scores scale along the key axis, so the
+                    # dequantized cache never hits HBM
+                    s_pre = s_pre * k_sc[:, :, None, None, :]
+                s_pre = s_pre + mask_prefix[:, None]
+                s_blk = jnp.einsum(
+                    "bgptd,bgpud->bgptu", qg, ku,
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                if fused and kv_quant:
+                    s_blk = s_blk * ks_blk[:, :, None, None, :]
+                s_blk = s_blk + mask_block[:, None]
+                if fused:
+                    # two-part streaming softmax: no [.., S+T] concat copy;
+                    # the unnormalized exp() weights go into the AV matmuls
+                    # in the model dtype (they are <= 1 by the max-shift)
+                    # and the normalizing divide happens ONCE at the end
+                    m = jnp.maximum(s_pre.max(-1), s_blk.max(-1))[..., None]
+                    e_pre = jnp.exp(s_pre - m)
+                    e_blk = jnp.exp(s_blk - m)
+                    den = e_pre.sum(-1) + e_blk.sum(-1)      # [B,G,pk,T]
+                    if kv_quant:
+                        # v_scale rides the contracted key axis: fold it
+                        # into the exp weights, never dequantize the V cache
+                        ep = (e_pre * v_sc[:, :, None, None, :]).astype(
+                            h.dtype)
+                        eb = (e_blk * vs_blk[:, :, None, None, :]).astype(
+                            h.dtype)
+                        vv = v5.astype(h.dtype)
+                    else:
+                        ep = e_pre.astype(h.dtype)
+                        eb = e_blk.astype(h.dtype)
+                        vv = v5
+                    o = jnp.einsum("bgpts,bgspd->bgptd", ep, vv,
+                                   preferred_element_type=jnp.float32)
+                    o = o + jnp.einsum("bgptu,bgpud->bgptd", eb, vu,
+                                       preferred_element_type=jnp.float32)
+                    o = o / jnp.maximum(den, 1e-30)[..., None]
+                else:
+                    s = jnp.concatenate([s_pre, s_blk], axis=-1)
+                    p = jax.nn.softmax(s, axis=-1)
+                    p_pre, p_blk = p[..., :S], p[..., S:]
+                    o = jnp.einsum("bgpts,bgspd->bgptd", p_pre,
+                                   v5.astype(jnp.float32))
+                    o = o + jnp.einsum("bgptu,bgpud->bgptd", p_blk,
+                                       vu.astype(jnp.float32))
             o = o.transpose(0, 3, 1, 2, 4).reshape(B, T, nh, hd).astype(h.dtype)
         else:
             if kv_quant:

@@ -34,6 +34,15 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--extra-nodes", default="25,41,57",
                     help="node budgets for rank-calibrated shapes")
+    ap.add_argument("--objective", default="accept",
+                    choices=["accept", "greedy"],
+                    help="'accept' calibrates on the stochastic LANTERN "
+                    "walk the lane runs (calibrate.measure_drafter_"
+                    "accept_probs); 'greedy' keeps the r4 rank-match "
+                    "matrix")
+    ap.add_argument("--depths", default="",
+                    help="optional per-budget depths, e.g. '4,5,6' zipped "
+                    "with --extra-nodes (default 6 for all)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcache")
@@ -104,17 +113,31 @@ def main():
         for name in ("naive_extend_57", "mc_sim_7b_63", "medusa_2_7b_63",
                      "reverse_balanced_25")
     }
-    # rank-calibrated shapes at several budgets (strict-acceptance model)
-    from lantern_tpu.engine.calibrate import measure_rank_probs
+    # calibrated shapes at several budgets
+    from lantern_tpu.engine import calibrate as calib
 
-    probs = measure_rank_probs(
-        params, dparams, cfg, dcfg, cond, uncond, jax.random.key(77),
-        num_tokens=args.tokens, max_rank=10, cfg_scale=3.0, warp=warp,
-        num_rollouts=2)
-    note(f"rank probs: {np.round(probs, 4).tolist()}")
-    for n in (int(x) for x in args.extra_nodes.split(",")):
-        paths = trees.optimize_tree(probs, num_nodes=n, max_depth=6)
-        cands[f"calib_{n}"] = trees.get_tree(paths)
+    if args.objective == "accept":
+        probs = calib.measure_drafter_accept_probs(
+            params, dparams, cfg, dcfg, cond, uncond, jax.random.key(77),
+            nearest=params["nearest_latents"],
+            lantern=LanternSpec(k=args.lantern_k, delta=args.lantern_delta),
+            num_tokens=args.tokens, max_rank=10, max_depth=6,
+            cfg_scale=3.0, warp=warp, num_rollouts=2)
+        note("accept probs (rows=depth):")
+        for d, row in enumerate(probs):
+            note(f"  d={d + 1}: {np.round(row, 3).tolist()}")
+    else:
+        probs = calib.measure_rank_probs(
+            params, dparams, cfg, dcfg, cond, uncond, jax.random.key(77),
+            num_tokens=args.tokens, max_rank=10, cfg_scale=3.0, warp=warp,
+            num_rollouts=2)
+        note(f"rank probs: {np.round(probs, 4).tolist()}")
+    budgets = [int(x) for x in args.extra_nodes.split(",")]
+    depths = ([int(x) for x in args.depths.split(",")] if args.depths
+              else [6] * len(budgets))
+    for n, dep in zip(budgets, depths):
+        paths = trees.optimize_tree(probs, num_nodes=n, max_depth=dep)
+        cands[f"calib_{n}_d{dep}"] = trees.get_tree(paths)
 
     # --- measure ----------------------------------------------------------
     results = {}
@@ -125,6 +148,7 @@ def main():
             max_new=args.tokens, mode="static",
             # match the bench lane's production engine (bench.py xl lane)
             deferred_commit=os.environ.get("BENCH_XL_DEFER", "1") == "1",
+            walk_batch_warp=True,
         )
 
         def run(seed):

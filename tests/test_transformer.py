@@ -276,3 +276,34 @@ def test_fused_params_forward_equivalence():
         h2 = tfm.forward_train(fused, cfg, x, jnp.arange(5), rope)
         np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kvq", [False, True])
+@pytest.mark.parametrize("T", [1, 2])
+def test_dense_mulsum_decode_matches_einsum(kvq, T):
+    """The mul-sum decode-attention path (dense_qk_mulsum_max_t) must agree
+    with the einsum fused path: same math, different contraction order."""
+    import dataclasses
+
+    from lantern_tpu.kv import KVCache
+
+    cfg = configs.tiny_config(cond_kind="label", block_size=16,
+                              num_heads=4, hidden_size=256)
+    cfg = dataclasses.replace(cfg, use_flash_attention=False,
+                              dense_softmax="fused")
+    params = tfm.init_params(jax.random.key(0), cfg)
+    rope = tfm.make_rope_tables(cfg)
+    kv = KVCache.create(cfg, 2, quantized=kvq)
+    # commit a short random prefix
+    pre = jax.random.randint(jax.random.key(1), (2, 7), 0, cfg.vocab_size)
+    res = tfm.forward(params, cfg, tfm.token_embed(params, pre), kv,
+                      jnp.arange(7), rope)
+    kv = res.kv
+    tok = jax.random.randint(jax.random.key(2), (2, T), 0, cfg.vocab_size)
+    outs = {}
+    for ms in (0, 4):
+        c = dataclasses.replace(cfg, dense_qk_mulsum_max_t=ms)
+        r = tfm.forward(params, c, tfm.token_embed(params, tok), kv,
+                        kv.length + jnp.arange(T), rope, commit=False)
+        outs[ms] = np.asarray(r.hidden, np.float32)
+    np.testing.assert_allclose(outs[0], outs[4], rtol=3e-2, atol=3e-2)

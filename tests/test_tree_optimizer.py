@@ -177,3 +177,48 @@ def test_measure_stale_accept_probs_tiny():
     assert rho[0].sum() > greedy[0].sum()
     paths = trees.optimize_tree(rho, num_nodes=12, max_depth=3)
     assert trees.get_tree(paths).num_nodes == 13
+
+
+def test_measure_drafter_accept_probs_tiny():
+    """The drafter-aware stochastic-walk calibration (XL lane objective)
+    runs end-to-end on a tiny caption model: well-formed [depth, rank]
+    matrix, per-level mass <= 1, and a passthrough-aligned drafter earns
+    high rank-0 acceptance (stochastic acceptance of a near-exact proposal
+    is ~min(1, p/q), not argmax match)."""
+    from lantern_tpu.engine.calibrate import measure_drafter_accept_probs
+    from lantern_tpu.ops.acceptance import LanternSpec
+    from lantern_tpu.ops.sampling import LogitsWarp
+    from lantern_tpu.ops.vq_distance import nearest_latents
+
+    cfg = configs.tiny_config(cond_kind="label", block_size=16)
+    dcfg = configs.drafter_config(cfg, total_tokens=10, depth=3, top_k=4)
+    params = tfm.init_params(jax.random.key(0), cfg)
+    dparams = drf.init_drafter_params(jax.random.key(2), dcfg,
+                                      params["embed"])
+    H = cfg.hidden_size
+    fc = np.zeros((2 * H, H), np.float32)
+    fc[H:] = np.eye(H)
+    dparams["fc_w"] = jnp.asarray(fc)
+    dparams["fc_b"] = jnp.zeros((H,))
+    dparams["layers"] = jax.tree.map(lambda a: a * 0.0, dparams["layers"])
+    cb = jax.random.normal(jax.random.key(3), (cfg.vocab_size, 8))
+    params["nearest_latents"] = jnp.asarray(np.asarray(
+        nearest_latents(cb, k=6)))
+
+    rho = measure_drafter_accept_probs(
+        params, dparams, cfg, dcfg,
+        jnp.asarray([3]), jnp.asarray([cfg.num_classes]),
+        jax.random.key(7), nearest=params["nearest_latents"],
+        lantern=LanternSpec(k=5, delta=5.0),
+        num_tokens=16, max_rank=4, max_depth=3,
+        warp=LogitsWarp(temperature=1.0, top_k=50), num_rollouts=2,
+        chunk=8,
+    )
+    assert rho.shape == (3, 4)
+    assert (rho >= 0).all() and (rho <= 1).all()
+    assert (rho.sum(axis=1) <= 1.0 + 3e-4 * rho.shape[1]).all()
+    # passthrough drafter at depth 1 proposes from a 1-stale near-exact
+    # distribution: rank-0 stochastic acceptance well above argmax-match
+    assert rho[0, 0] > 0.3
+    paths = trees.optimize_tree(rho, num_nodes=12, max_depth=4)
+    assert trees.get_tree(paths).num_nodes == 13
