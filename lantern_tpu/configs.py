@@ -263,5 +263,11 @@ def drafter_config(base: ModelConfig, num_layers: int = 1, **kw) -> DrafterConfi
         # every reference drafter layer is pre-norm (cnets_* hardcode the
         # LLaMA residual ordering) even when the base model is swin-norm
         swin_norm=False,
+        # mul-sum decode attention is a BASE-model AR-path optimization; the
+        # drafter's per-level forwards are tiny either way, and switching
+        # their contraction order shifts proposal numerics against trees
+        # calibrated under the einsum drafter (r5: XL lantern compression
+        # moved 2.51 -> 2.35 when the drafter levels picked up mul-sum)
+        dense_qk_mulsum_max_t=0,
     )
     return DrafterConfig(model=m, **kw)
